@@ -1,0 +1,140 @@
+"""Static configuration for the cofusion_tpu engine.
+
+Frozen dataclasses: hashable, so they can be closed over / passed as static args to
+``jax.jit``.  Every field that changes array shapes or compiled control flow lives here;
+runtime-tunable scalars (thresholds, weights) live in :class:`RuntimeParams`, a pytree
+that can change per frame without recompilation.
+
+Reference parity (flag defaults from /root/reference):
+  * camera defaults 640x480 @ (fx,fy,cx,cy)=(528,528,320,240) — GUI/MainController.cpp:108-110
+  * tracking schedule {10,5,4} iters fine->coarse, SO3 pre-align <=10 @ level 2 —
+    Core/Utils/RGBDOdometry.cpp:257,312-314
+  * ICP gates dist<=0.10 m / sin(20 deg), icp:rgb weight 10 — Core/Utils/RGBDOdometry.h:35-36,
+    Core/CoFusion.h:48
+  * surfel capacity (reference: 3072^2 per model) — Core/Model/Model.cpp:92-98
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Image resolution + pinhole intrinsics (the reference's Resolution/Intrinsics
+    singletons, Core/Utils/Resolution.h:24-71 / Intrinsics.h)."""
+
+    width: int = 640
+    height: int = 480
+    fx: float = 528.0
+    fy: float = 528.0
+    cx: float = 320.0
+    cy: float = 240.0
+
+    def at_level(self, level: int) -> "CameraConfig":
+        """Intrinsics of pyramid level ``level`` (level 0 = full resolution).
+
+        Matches the CUDA CameraModel `operator()(level)` scaling: each level halves
+        the resolution and scales (fx, fy, cx, cy) by 2^-level.
+        """
+        s = 1.0 / (1 << level)
+        return CameraConfig(
+            width=self.width >> level,
+            height=self.height >> level,
+            fx=self.fx * s,
+            fy=self.fy * s,
+            cx=self.cx * s,
+            cy=self.cy * s,
+        )
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.height, self.width)
+
+    @property
+    def mean_focal(self) -> float:
+        return 0.5 * (self.fx + self.fy)
+
+
+@dataclass(frozen=True)
+class CoFusionConfig:
+    """Static engine configuration (shape- and control-flow-determining)."""
+
+    camera: CameraConfig = CameraConfig()
+
+    # --- capacity (shapes) -------------------------------------------------
+    # Max simultaneously-allocated models (reference: up to 256 sequential ids,
+    # Core/CoFusion.cpp:628-644, but only a handful alive at once).
+    max_models: int = 4
+    # Surfel capacity per model. The reference allocates 3072^2 ≈ 9.4M surfels per
+    # model (Core/Model/Model.cpp:92-98); scenes in the published datasets use far
+    # fewer.  2^20 (~1M) is the default here; raise for large scenes.
+    max_surfels: int = 1 << 20
+    # Max surfels appended per frame (bounded by decimated pixel count).
+    max_new_surfels_log2: int = 15  # 32768 >= 640*480/16
+
+    # --- tracking schedule (compiled control flow) -------------------------
+    pyramid_levels: int = 3
+    so3_iters: int = 10
+    gn_iters: tuple[int, int, int] = (10, 5, 4)  # level 0, 1, 2
+    fast_odom: bool = False
+    use_so3: bool = True
+    use_pyramid: bool = True
+
+    # --- rasterizer --------------------------------------------------------
+    # Gather window half-size for splat prediction (pixels); bounds the splat
+    # radius that can be rendered (reference splats arbitrary point sizes).
+    splat_radius: int = 3
+    # Data-association search window half-size (reference: +/-2 px, data.vert:138).
+    assoc_radius: int = 2
+
+    # --- segmentation ------------------------------------------------------
+    superpixel_size: int = 16          # Core/Segmentation/Segmentation.cpp:55
+    crf_iterations: int = 10
+    slic_iterations: int = 5           # Core/Segmentation/Slic.cpp:38
+
+    # --- misc --------------------------------------------------------------
+    time_delta: int = 200              # active/inactive surfel window, ModelProjection.h:41
+    dtype: str = "float32"
+
+    @property
+    def max_new_surfels(self) -> int:
+        return 1 << self.max_new_surfels_log2
+
+    def replace(self, **kw) -> "CoFusionConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class TrackingParams:
+    """Runtime-tunable tracking scalars (no recompilation on change — they are traced).
+
+    Defaults follow the reference (RGBDOdometry.h:35-36, RGBDOdometry.cpp:31-34,
+    102-105, CoFusion.h:48)."""
+
+    icp_weight: float = 10.0
+    dist_thresh: float = 0.10
+    angle_thresh_sin: float = math.sin(20.0 * math.pi / 180.0)
+    max_depth_delta_rgb: float = 0.07
+    max_depth_rgb: float = 6.0
+    sobel_scale: float = 1.0 / 8.0
+    # per-level minimum gradient magnitudes (level 0, 1, 2)
+    min_grad_mags: tuple[float, float, float] = (5.0, 3.0, 1.0)
+    rgb_only: bool = False
+    # reset translation if the update jumps more than this (RGBDOdometry.cpp:464-467)
+    max_translation_jump: float = 0.3
+
+
+@dataclass(frozen=True)
+class FusionParams:
+    """Runtime-tunable fusion scalars. Defaults from the reference GUI/engine
+    (GUI/Tools/GUI.h:184-244, Core/CoFusion.h, Core/Shaders/*.vert)."""
+
+    depth_cutoff: float = 3.0           # '-d' flag default, MainController
+    confidence_global: float = 10.0     # '-cg' global model confidence threshold
+    confidence_object: float = 9.0      # '-co' object model confidence threshold
+    outlier_coefficient: float = 0.02   # free-space violation decay, copy_unstable.vert
+    unstable_time: int = 20             # unstable surfel timeout ticks, copy_unstable.vert:134
+    velocity_weight_min: float = 0.5    # computeFusionWeight clamp, Model.cpp:391-406

@@ -1,0 +1,423 @@
+"""Surfel fusion and map maintenance — TPU rewrite of the reference's OpenGL
+transform-feedback passes:
+
+  * data-association pass (Core/Shaders/data.vert:78-211 + host Model.cpp:408-497),
+  * update pass (Core/Shaders/update.vert:38-111 + Model.cpp:499-562),
+  * clean/copy pass (Core/Shaders/copy_unstable.vert:53-336 + Model.cpp:565-697),
+  * first-frame initialisation (vertex_feedback.vert:40-68, init_unstable.vert,
+    Model::initialise Model.cpp:227-272).
+
+Mapping to TPU primitives:
+  * the data pass's per-pixel +/-2 px index-map search is a static window of
+    SHIFTED map reads (25 fused elementwise passes — no gather needed since the
+    window is centered on the pixel itself);
+  * "render 1 point into the update FBO at the target surfel's texel" becomes a
+    scatter-add of (weight, weight*attr) into per-surfel accumulators — where the
+    GL path drops colliding updates (last write wins), we accumulate ALL of them,
+    a strictly better use of the data (documented divergence);
+  * "transform feedback + geometry-shader discard + primitive query" becomes
+    masked cumsum compaction (models/surfel_model.py:compact);
+  * new unstable surfels are appended with bounded-capacity scatter.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cofusion_tpu.config import CameraConfig, CoFusionConfig
+from cofusion_tpu.models import surfel_model as sm
+from cofusion_tpu.models.surfel_model import SurfelStore
+from cofusion_tpu.ops.lie import invert_rt
+from cofusion_tpu.ops.preprocess import _shifted
+from cofusion_tpu.ops.rasterize import IndexMap, _rotate
+
+
+class FrameSurfels(NamedTuple):
+    """Per-pixel candidate surfels built from the current frame (camera frame)."""
+
+    pos: jnp.ndarray      # (H, W, 3) from RAW depth (data.vert:85-87)
+    normal: jnp.ndarray   # (H, W, 3) from FILTERED depth (data.vert:90,97-99)
+    color: jnp.ndarray    # (H, W, 3)
+    radius: jnp.ndarray   # (H, W)
+    conf: jnp.ndarray     # (H, W) radial-Gaussian confidence x weighting
+    valid: jnp.ndarray    # (H, W)
+
+
+def _get_vertex(depth, cam: CameraConfig):
+    H, W = depth.shape
+    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    vx = (x - cam.cx) * depth / cam.fx
+    vy = (y - cam.cy) * depth / cam.fy
+    return jnp.stack([vx, vy, depth], axis=-1)
+
+
+def _central_normal(vmap):
+    """Central-difference normal n = norm((v_xb - v_xf)/2 x (v_yb - v_yf)/2)
+    (geometry.glsl getNormal, used by data.vert/vertex_feedback.vert)."""
+    del_x = (_shifted(vmap, 0, -1) - _shifted(vmap, 0, 1)) * 0.5
+    del_y = (_shifted(vmap, -1, 0) - _shifted(vmap, 1, 0)) * 0.5
+    n = jnp.cross(del_x, del_y)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    ok = norm[..., 0] > 1e-12
+    return jnp.where(ok[..., None], n / jnp.maximum(norm, 1e-12), 0.0), ok
+
+
+def _radius(depth, norm_z, cam: CameraConfig):
+    """Surfel radius (surfels.glsl getRadius): r = sqrt(2) z / meanFocal, scaled by
+    1/|n_z| capped at 2x."""
+    mean_focal = cam.mean_focal
+    r = depth * jnp.sqrt(2.0) / mean_focal
+    rn = r / jnp.maximum(jnp.abs(norm_z), 1e-6)
+    return jnp.minimum(2.0 * r, rn)
+
+
+def _confidence(cam: CameraConfig, weighting):
+    """Radial-Gaussian confidence (surfels.glsl:36-46): exp(-d^2 / (2*0.6^2)) with
+    d the principal-point distance normalized by maxRadDist=400 (the reference
+    hard-codes 400 for 640x480; we scale it to the actual sensor diagonal)."""
+    H, W = cam.height, cam.width
+    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    max_rad = jnp.sqrt((W * 0.5) ** 2 + (H * 0.5) ** 2) * (400.0 / 400.0)
+    if W == 640 and H == 480:
+        max_rad = 400.0
+    d2 = ((x - cam.cx) ** 2 + (y - cam.cy) ** 2) / (max_rad**2)
+    return jnp.exp(-d2 / 0.72) * weighting
+
+
+def make_frame_surfels(
+    raw_depth: jnp.ndarray,
+    filtered_depth: jnp.ndarray,
+    rgb: jnp.ndarray,
+    cam: CameraConfig,
+    weighting,
+    max_depth,
+) -> FrameSurfels:
+    """Per-pixel surfel candidates (data.vert:84-106 / vertex_feedback.vert):
+    position+color from raw depth, normal+radius from filtered depth."""
+    vpos = _get_vertex(raw_depth, cam)
+    vpos_f = _get_vertex(filtered_depth, cam)
+    normal, n_ok = _central_normal(vpos_f)
+    radius = _radius(filtered_depth, normal[..., 2], cam)
+    conf = _confidence(cam, weighting)
+    valid = (raw_depth > 0) & (raw_depth <= max_depth) & n_ok & (filtered_depth > 0)
+    return FrameSurfels(
+        pos=vpos,
+        normal=normal,
+        color=rgb.astype(jnp.float32),
+        radius=radius,
+        conf=conf,
+        valid=valid,
+    )
+
+
+def _check_neighbours(raw_depth):
+    """4-neighborhood depth-present gate (data.vert checkNeighbours)."""
+    ok = raw_depth > 0
+    return (
+        _shifted(ok, 0, -1, False)
+        & _shifted(ok, -1, 0, False)
+        & _shifted(ok, 0, 1, False)
+        & _shifted(ok, 1, 0, False)
+    )
+
+
+def fuse(
+    store: SurfelStore,
+    frame: FrameSurfels,
+    raw_depth: jnp.ndarray,
+    imap: IndexMap,
+    mask_ok: jnp.ndarray,
+    pose: jnp.ndarray,
+    cam: CameraConfig,
+    cfg: CoFusionConfig,
+    time,
+    max_depth,
+) -> SurfelStore:
+    """One fuse step: associate each (decimated) input pixel with a map surfel via
+    the index render, merge matched measurements (confidence-weighted running
+    average), append unmatched ones as new unstable surfels.
+
+    `mask_ok`: pixels belonging to this model (data.vert:117 mask == maskID).
+    `pose`: model pose (camera-to-world) used to lift measurements to world frame.
+    """
+    H, W = raw_depth.shape
+    x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    y = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+
+    t_i = jnp.asarray(time, jnp.int32)
+    stagger = ((x % 2) == (t_i % 2)) & ((y % 2) == (t_i % 2))  # data.vert:116
+    z = frame.pos[..., 2]
+    cand = (
+        stagger
+        & mask_ok
+        & _check_neighbours(raw_depth)
+        & (z > 0)
+        & (z <= max_depth)
+        & frame.valid
+    )
+
+    # --- association: +/-2 px window over the index render (data.vert:124-162)
+    xl = (x.astype(jnp.float32) - cam.cx) / cam.fx
+    yl = (y.astype(jnp.float32) - cam.cy) / cam.fy
+    lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
+    ray = jnp.stack([xl, yl, jnp.ones_like(xl)], axis=-1)
+
+    best_dist = jnp.full((H, W), 1000.0)
+    best_idx = jnp.full((H, W), -1, jnp.int32)
+    r = cfg.assoc_radius
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            c_has = _shifted(imap.valid, dy, dx, False)
+            c_idx = _shifted(imap.index, dy, dx, -1)
+            c_vc = _shifted(imap.vert_conf, dy, dx)
+            c_nr = _shifted(imap.normal_rad, dy, dx)
+            zdiff = c_vc[..., 2] - z
+            depth_ok = jnp.abs(zdiff * lam) < 0.05
+            dist = jnp.linalg.norm(jnp.cross(ray, c_vc[..., :3]), axis=-1)
+            # normal conformance (data.vert:150): steep surfels must agree in angle
+            cosang = jnp.clip(
+                jnp.sum(c_nr[..., :3] * frame.normal, axis=-1), -1.0, 1.0
+            )
+            norm_ok = (jnp.abs(c_nr[..., 2]) < 0.75) | (jnp.abs(jnp.arccos(cosang)) < 0.5)
+            better = c_has & depth_ok & norm_ok & (dist < best_dist)
+            best_dist = jnp.where(better, dist, best_dist)
+            best_idx = jnp.where(better, c_idx, best_idx)
+
+    merge = cand & (best_idx >= 0)
+    new = cand & (best_idx < 0)
+
+    # --- lift measurements to world frame (data.vert:84-100 applies `pose`)
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    wpos = _rotate(R, frame.pos) + t
+    wnorm = _rotate(R, frame.normal)
+
+    # --- update pass: scatter-accumulate into per-surfel accumulators
+    n = store.capacity
+    tgt = jnp.where(merge, best_idx, n).reshape(-1)
+    a = jnp.where(merge, frame.conf, 0.0).reshape(-1)
+
+    def acc(val, chan):
+        if chan == 1:
+            return jnp.zeros((n,), jnp.float32).at[tgt].add(a * val.reshape(-1), mode="drop")
+        flat = val.reshape(-1, chan) * a[:, None]
+        return jnp.zeros((n, chan), jnp.float32).at[tgt].add(flat, mode="drop")
+
+    sum_a = jnp.zeros((n,), jnp.float32).at[tgt].add(a, mode="drop")
+    sum_pos = acc(wpos, 3)
+    sum_col = acc(frame.color, 3)
+    sum_norm = acc(wnorm, 3)
+    sum_rad = acc(frame.radius, 1)
+
+    hit = sum_a > 0
+    a_tot = jnp.maximum(sum_a, 1e-12)
+    new_pos = sum_pos / a_tot[:, None]
+    new_col = sum_col / a_tot[:, None]
+    new_norm = sum_norm / a_tot[:, None]
+    new_rad = sum_rad / a_tot
+
+    c_k = store.conf
+    denom = jnp.maximum(c_k + sum_a, 1e-12)
+    # radius-growth gate (update.vert:70): only average geometry if the incoming
+    # radius is not 1.5x larger than the stored one
+    grow_ok = hit & (new_rad < 1.5 * store.radius)
+
+    def merge_attr(old, newv):
+        avg = (c_k[:, None] * old + sum_a[:, None] * newv) / denom[:, None]
+        return jnp.where(grow_ok[:, None], avg, old)
+
+    pos_u = merge_attr(store.pos, new_pos)
+    col_u = merge_attr(store.color, new_col)
+    norm_u = merge_attr(store.normal, new_norm)
+    norm_len = jnp.linalg.norm(norm_u, axis=-1, keepdims=True)
+    norm_u = jnp.where(norm_len > 1e-12, norm_u / jnp.maximum(norm_len, 1e-12), store.normal)
+    rad_avg = (c_k * store.radius + sum_a * new_rad) / denom
+    rad_u = jnp.where(grow_ok, rad_avg, store.radius)
+
+    updated = SurfelStore(
+        pos=pos_u,
+        normal=norm_u,
+        color=col_u,
+        radius=rad_u,
+        conf=jnp.where(hit, c_k + sum_a, c_k),
+        init_time=store.init_time,
+        last_time=jnp.where(hit, jnp.asarray(time, jnp.float32), store.last_time),
+        valid=store.valid,
+        count=store.count,
+    )
+
+    # --- new unstable surfels: flatten candidates, bounded append
+    tf = jnp.asarray(time, jnp.float32)
+    new_flat = SurfelStore(
+        pos=wpos.reshape(-1, 3),
+        normal=wnorm.reshape(-1, 3),
+        color=frame.color.reshape(-1, 3),
+        radius=frame.radius.reshape(-1),
+        conf=frame.conf.reshape(-1),
+        init_time=jnp.full((H * W,), tf),
+        last_time=jnp.full((H * W,), tf),
+        valid=new.reshape(-1),
+        count=jnp.int32(0),
+    )
+    return sm.append(updated, new_flat, new.reshape(-1))
+
+
+def clean(
+    store: SurfelStore,
+    imap: IndexMap,
+    depth_input: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    mask_id,
+    pose: jnp.ndarray,
+    cam: CameraConfig,
+    cfg: CoFusionConfig,
+    time,
+    time_delta,
+    conf_threshold,
+    outlier_coeff,
+    is_lost=False,
+) -> SurfelStore:
+    """Clean/copy pass (copy_unstable.vert:53-150): duplicate suppression,
+    unstable-timeout removal, free-space-violation confidence decay, mask-mismatch
+    penalty; then stream compaction.
+
+    `imap` must be a FRESH index render at the post-tracking pose (the reference
+    re-renders predictIndices between fuse and clean, CoFusion.cpp:474).
+    `depth_input` is the current filtered depth; `mask` the frame's model-id mask.
+    """
+    H, W = cam.height, cam.width
+    n = store.capacity
+    t_inv = invert_rt(pose)
+    local = _rotate(t_inv[:3, :3], store.pos) + t_inv[:3, 3]
+    local_n = _rotate(t_inv[:3, :3], store.normal)
+    zl = local[..., 2]
+    zs = jnp.where(zl == 0, 1.0, zl)
+    xpix = local[..., 0] * cam.fx / zs + cam.cx
+    ypix = local[..., 1] * cam.fy / zs + cam.cy
+    xi = jnp.floor(xpix).astype(jnp.int32)
+    yi = jnp.floor(ypix).astype(jnp.int32)
+    inb = (xpix > 0) & (ypix > 0) & (xpix < W) & (ypix < H) & (zl > 0)
+    in_window = (time - store.last_time) < time_delta
+    search_ok = store.valid & in_window & inb
+
+    lin = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+
+    imap_has = imap.valid.reshape(-1)
+    imap_vc = imap.vert_conf.reshape(-1, 4)
+    imap_it = imap.color_time.reshape(-1, 4)[:, 3]
+    imap_lt = imap.last_time.reshape(-1)
+    depth_flat = depth_input.reshape(-1)
+
+    count = jnp.zeros((n,), jnp.int32)
+    z_count = jnp.zeros((n,), jnp.int32)
+    violations = jnp.zeros((n,), jnp.int32)
+    viol_sum = jnp.zeros((n,), jnp.float32)
+
+    def gat(flat_arr, off):
+        idx = jnp.clip(lin + off, 0, H * W - 1)
+        return jnp.take(flat_arr, idx, axis=0)
+
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            off = dy * W + dx
+            oob = (
+                (xi + dx < 0) | (xi + dx >= W) | (yi + dy < 0) | (yi + dy >= H)
+            )
+            has = gat(imap_has, off) & ~oob & search_ok
+            vc = gat(imap_vc, off)
+            it = gat(imap_it, off)
+            lt = gat(imap_lt, off)
+            # duplicate: older, confident, behind, close, within radius
+            dup = (
+                has
+                & (it < store.init_time)
+                & (vc[:, 3] > conf_threshold)
+                & (vc[:, 2] > zl)
+                & (vc[:, 2] - zl < 0.01)
+                & (
+                    jnp.sqrt(jnp.sum((vc[:, :2] - local[..., :2]) ** 2, axis=-1))
+                    < store.radius * 1.4
+                )
+            )
+            count = count + dup.astype(jnp.int32)
+            zdup = (
+                has
+                & (lt == time)
+                & (vc[:, 3] > conf_threshold)
+                & (vc[:, 2] > zl)
+                & (vc[:, 2] - zl > 0.01)
+                & (jnp.abs(local_n[..., 2]) > 0.85)
+            )
+            z_count = z_count + zdup.astype(jnp.int32)
+
+    # free-space violation: 3x3 depth window, observed depth beyond surfel by >3cm
+    for dy in range(-1, 2):
+        for dx in range(-1, 2):
+            off = dy * W + dx
+            oob = (xi + dx < 0) | (xi + dx >= W) | (yi + dy < 0) | (yi + dy >= H)
+            d = gat(depth_flat, off)
+            viol = search_ok & ~oob & (d - zl > 0.03) & (d > 0)
+            violations = violations + viol.astype(jnp.int32)
+            viol_sum = viol_sum + jnp.where(viol, d - zl, 0.0)
+
+    keep = jnp.ones((n,), bool)
+    keep = keep & ~((count > 8) | (z_count > 4))
+    age = time - store.last_time
+    # degenerate / too unstable (copy_unstable.vert:134)
+    drop_unstable = (age > 20) & (store.conf < conf_threshold)
+    keep = keep & ~drop_unstable
+    # inactive surfels are immune (copy_unstable.vert:136)
+    keep = keep | ((store.last_time > 0) & (age > time_delta))
+    keep = keep & store.valid
+
+    # confidence decay (copy_unstable.vert:138-149)
+    has_viol = violations > 0
+    avg_viol = viol_sum / jnp.maximum(violations, 1).astype(jnp.float32)
+    conf = jnp.where(
+        has_viol, store.conf / (1.0 + outlier_coeff * avg_viol), store.conf
+    )
+    if mask is not None:
+        mask_flat = mask.reshape(-1)
+        m_val = jnp.take(mask_flat, lin)
+        w_depth = jnp.take(depth_flat, lin)
+        mism = (
+            has_viol
+            & (m_val != mask_id)
+            & (w_depth > zl - 0.05)
+            & (w_depth < zl + 0.05)
+            & search_ok
+        )
+        conf = jnp.where(mism, conf * (0.5 + 0.5 * (1.0 - outlier_coeff / 10.0)), conf)
+
+    cleaned = store._replace(conf=conf)
+    return sm.compact(cleaned, keep)
+
+
+def initialise(
+    frame: FrameSurfels, pose: jnp.ndarray, capacity: int, time
+) -> SurfelStore:
+    """First-frame map initialisation (Model::initialise, Model.cpp:227-272):
+    every valid pixel becomes a surfel."""
+    H, W = frame.valid.shape
+    R, t = pose[:3, :3], pose[:3, 3]
+    wpos = _rotate(R, frame.pos) + t
+    wnorm = _rotate(R, frame.normal)
+    tf = jnp.asarray(time, jnp.float32)
+    flat = SurfelStore(
+        pos=wpos.reshape(-1, 3),
+        normal=wnorm.reshape(-1, 3),
+        color=frame.color.reshape(-1, 3),
+        radius=frame.radius.reshape(-1),
+        conf=frame.conf.reshape(-1),
+        init_time=jnp.full((H * W,), tf),
+        last_time=jnp.full((H * W,), tf),
+        valid=frame.valid.reshape(-1),
+        count=jnp.int32(0),
+    )
+    store = sm.empty_store(capacity)
+    return sm.append(store, flat, frame.valid.reshape(-1))
