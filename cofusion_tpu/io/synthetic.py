@@ -97,7 +97,8 @@ class SyntheticScene:
             nonlocal best_t, hit_point, hit_id, hit_phase
             ok = np.isfinite(t_hit) & (t_hit > 0.05) & (t_hit < best_t)
             best_t = np.where(ok, t_hit, best_t)
-            p = o + t_hit[..., None] * d if point is None else point
+            with np.errstate(invalid="ignore"):
+                p = o + np.where(np.isfinite(t_hit), t_hit, 0.0)[..., None] * d if point is None else point
             hit_point = np.where(ok[..., None], p, hit_point)
             hit_id = np.where(ok, np.uint8(model_id), hit_id)
             hit_phase = np.where(ok, phase, hit_phase)

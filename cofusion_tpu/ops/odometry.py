@@ -551,7 +551,7 @@ def get_incremental_transformation(
             if use_icp and use_rgb:
                 w = params.icp_weight
                 A = A_rgb + (w * w) * A_icp
-                b = b_rgb + w * b_icp
+                b = b_rgb + (w * w if params.consistent_icp_weighting else w) * b_icp
             elif use_icp:
                 A, b = A_icp, b_icp
             else:

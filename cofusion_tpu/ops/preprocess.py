@@ -76,7 +76,7 @@ def bilateral_filter(depth: jnp.ndarray, max_depth: float | jnp.ndarray, radius:
     return jnp.where(center_ok, out, 0.0)
 
 
-_BINOMIAL5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0])
+_BINOMIAL5 = (1.0, 4.0, 6.0, 4.0, 1.0)
 
 
 def pyr_down_gauss(img: jnp.ndarray, valid: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -81,7 +81,9 @@ def test_nmap_on_frontal_wall(small_cam):
     nmap = np.asarray(nmap)
     ok = np.asarray(nvalid)
     assert ok[:-1, :-1].all()
-    np.testing.assert_allclose(nmap[ok], np.array([0.0, 0.0, 1.0]), atol=1e-4)
+    np.testing.assert_allclose(
+        nmap[ok], np.broadcast_to([0.0, 0.0, 1.0], nmap[ok].shape), atol=1e-4
+    )
 
 
 def test_sobel_gradient_direction():
