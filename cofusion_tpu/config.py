@@ -98,6 +98,8 @@ class CoFusionConfig:
     # --- misc --------------------------------------------------------------
     time_delta: int = 200              # active/inactive surfel window, ModelProjection.h:41
     dtype: str = "float32"
+    # on-device pose-history capacity (frames); wraps around beyond this
+    max_log_frames: int = 8192
 
     @property
     def max_new_surfels(self) -> int:
@@ -125,6 +127,13 @@ class TrackingParams:
     rgb_only: bool = False
     # reset translation if the update jumps more than this (RGBDOdometry.cpp:464-467)
     max_translation_jump: float = 0.3
+    # Stability gates absent from the reference (which explodes on tiny masked
+    # objects — e.g. a sphere seen by ~12 pixels at pyramid level 2 makes the
+    # 6x6 system singular, the pose jumps past the 0.3 m guard, and tracking
+    # resets every frame): skip a GN update when fewer than this many
+    # correspondences exist, or when the per-iteration translation step exceeds
+    # the jump threshold.
+    min_correspondences: float = 20.0
     # The reference combines A = A_rgbd + w^2 A_icp but b = b_rgbd + w b_icp
     # (RGBDOdometry.cpp:431-446).  When the photometric term is small this scales
     # every Gauss-Newton step by 1/w — geometric under-relaxation that leaves

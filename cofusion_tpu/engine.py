@@ -58,16 +58,29 @@ class EngineState(NamedTuple):
     icp_error_maps: jnp.ndarray  # (M, H, W) last per-model ICP error (for CRF)
     prev_rgb: jnp.ndarray       # (H, W, 3) previous frame rgb (FillIn source)
     prev_filtered: jnp.ndarray  # (H, W) previous frame filtered depth
+    prev_mask: jnp.ndarray      # (H, W) previous frame's segmentation (slot ids)
+    #   — tracking gates read the PREVIOUS segmentation (the reference's MASK
+    #   texture still holds frame t-1's result when tracking frame t,
+    #   CoFusion.cpp:211 vs :233)
+    pose_history: jnp.ndarray   # (LOG_CAP, M, 4, 4) on-device pose log.
+    #   Living inside the (donated) state keeps the host loop fully async with
+    #   no aliasing hazards: jit outputs that duplicate state leaves share
+    #   device buffers, so host-held handles would be overwritten by the next
+    #   donated step.  History is materialized in one bulk transfer at export.
 
 
 class FrameOutputs(NamedTuple):
+    """Small per-frame outputs (a few KB — the host loop stays async; the
+    reference blocks ~38x/frame on GPU downloads, we block zero times unless
+    stats are explicitly requested)."""
+
     poses: jnp.ndarray          # (M, 4, 4)
     icp_error: jnp.ndarray      # (M,)
     icp_count: jnp.ndarray      # (M,)
     rgb_error: jnp.ndarray      # (M,)
     surfel_counts: jnp.ndarray  # (M,)
-    pred_image: jnp.ndarray     # (H, W, 3) global-model predicted rgb
-    pred_depth: jnp.ndarray     # (H, W) global-model predicted depth
+    active: jnp.ndarray         # (M,) bool
+    spawned: jnp.ndarray        # () bool — a new model was created this frame
 
 
 def _fusion_weight(pose: jnp.ndarray, prev_pose: jnp.ndarray, multiplier) -> jnp.ndarray:
@@ -98,8 +111,14 @@ class CoFusion:
         self.enable_multi_model = enable_multi_model
         self.sw = Stopwatch.get()
         self.state: EngineState | None = None
-        self.pose_log: list[tuple[int, np.ndarray]] = []  # (timestamp, (M,4,4))
-        self.timestamps: list[int] = []
+        self._timestamps: list[int] = []
+        from cofusion_tpu.ops.segmentation import GtMaskMapper
+
+        self._gt_mapper = GtMaskMapper()
+        self._used_slots: set[int] = {0}
+        self._ever_active: set[int] = {0}
+        self._last_segmentation: np.ndarray | None = None
+        self._last_outputs = None
         self._step_fn = jax.jit(
             functools.partial(
                 _step, cam=self.cam, cfg=self.cfg, tparams=self.tracking
@@ -143,6 +162,9 @@ class CoFusion:
         so3_ref = intensity
         for _ in range(cfg.pyramid_levels - 1):
             so3_ref = pp.pyr_down_gauss(so3_ref)
+        pose_history = jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32), (cfg.max_log_frames, M, 4, 4)
+        )
         return EngineState(
             models=models,
             tick=jnp.int32(1),
@@ -150,61 +172,121 @@ class CoFusion:
             icp_error_maps=jnp.zeros((M,) + cam.shape, jnp.float32),
             prev_rgb=rgb,
             prev_filtered=filtered,
+            prev_mask=mask,
+            pose_history=pose_history,
         )
 
     # ------------------------------------------------------------------
-    def process_frame(self, frame: dict, weight_multiplier: float = 1.0) -> dict:
+    def process_frame(self, frame: dict, weight_multiplier: float = 1.0, sync: bool = False) -> dict:
         """One frame.  `frame` dict: rgb uint8 (H,W,3), depth float32 meters (H,W),
-        optional mask uint8 (H,W), timestamp int."""
+        optional mask uint8 (H,W), timestamp int.
+
+        The call is ASYNC by default: the jitted step is dispatched and small
+        device handles are logged; nothing blocks on the device.  Pass
+        `sync=True` (or call `.stats()`) to materialize this frame's numbers.
+        """
         with self.sw.section("Run"):
             rgb = jnp.asarray(frame["rgb"], jnp.float32)
             depth = jnp.asarray(frame["depth"], jnp.float32)
-            mask = jnp.asarray(
-                frame.get("mask") if frame.get("mask") is not None else np.zeros(self.cam.shape, np.uint8),
-                jnp.int32,
-            )
-            if self.state is None:
-                with self.sw.section("Init"):
-                    self.state = self._init_state(rgb, depth, mask)
-                out_stats = {"tick": 1}
-                self.pose_log.append(
-                    (frame.get("timestamp", 0), np.broadcast_to(np.eye(4, dtype=np.float32), (self.cfg.max_models, 4, 4)).copy())
-                )
-                return out_stats
+            ts = frame.get("timestamp", 0)
 
+            if self.state is None:
+                # first frame initialises the global model only (CoFusion.cpp:202-205);
+                # objects spawn from later frames' segmentation
+                with self.sw.section("Init"):
+                    self.state = self._init_state(
+                        rgb, depth, jnp.zeros(self.cam.shape, jnp.int32)
+                    )
+                self._timestamps.append(ts)
+                self._last_outputs = None
+                return {"tick": 1}
+
+            # --- ground-truth mask path: remap dataset ids -> model slots
+            # (Segmentation.cpp:59-122; the persistent `mapping` vector)
+            new_slot = -1
+            mask_np = frame.get("mask")
+            if self.enable_multi_model and mask_np is not None:
+                free = [s for s in range(1, self.cfg.max_models) if s not in self._used_slots]
+                slot_mask, assigned = self._gt_mapper.remap(
+                    np.asarray(mask_np), free, allow_new=bool(free)
+                )
+                if assigned is not None:
+                    new_slot = assigned
+                    self._used_slots.add(assigned)
+                    self._ever_active.add(assigned)
+                self._last_segmentation = slot_mask
+                mask = jnp.asarray(slot_mask, jnp.int32)
+            else:
+                mask = jnp.asarray(
+                    mask_np if mask_np is not None else np.zeros(self.cam.shape, np.uint8),
+                    jnp.int32,
+                )
             with self.sw.section("odom+fuse"):
                 fparams = dict(
                     depth_cutoff=jnp.float32(self.fusion.depth_cutoff),
                     outlier_coeff=jnp.float32(self.fusion.outlier_coefficient),
                     weight_multiplier=jnp.float32(weight_multiplier),
                     time_delta=jnp.int32(self.cfg.time_delta),
+                    new_slot=jnp.int32(new_slot),
+                    allow_new=jnp.bool_(new_slot >= 0),
+                    gt_masks=jnp.bool_(self.enable_multi_model and mask_np is not None),
                 )
                 self.state, outputs = self._step_fn(self.state, rgb, depth, mask, fparams)
 
-            with self.sw.section("download"):
-                stats = {
-                    "tick": int(self.state.tick),
-                    "poses": np.asarray(outputs.poses),
-                    "icp_error": np.asarray(outputs.icp_error),
-                    "icp_count": np.asarray(outputs.icp_count),
-                    "surfel_counts": np.asarray(outputs.surfel_counts),
-                }
-            self.pose_log.append((frame.get("timestamp", 0), stats["poses"]))
-        return stats
+            self._last_outputs = outputs
+            self._timestamps.append(ts)
+            if sync:
+                return self.stats()
+        return {"tick": None}
+
+    def stats(self) -> dict:
+        """Materialize the most recent frame's outputs (blocks on the device).
+
+        Reads through `self.state` (the authoritative, never-aliased handles),
+        not stale output handles.
+        """
+        with self.sw.section("download"):
+            out = self._last_outputs
+            st = {
+                "tick": int(self.state.tick),
+                "poses": np.asarray(self.state.models.pose),
+                "surfel_counts": np.asarray(self.state.models.store.count),
+                "active": np.asarray(self.state.models.active),
+            }
+            if out is not None:
+                st["icp_error"] = np.asarray(out.icp_error)
+                st["icp_count"] = np.asarray(out.icp_count)
+                st["rgb_error"] = np.asarray(out.rgb_error)
+        return st
+
+    def materialized_pose_log(self) -> list[tuple[int, np.ndarray]]:
+        """Pose log as numpy: one bulk transfer of the on-device history."""
+        n = len(self._timestamps)
+        cap = self.cfg.max_log_frames
+        hist = np.asarray(self.state.pose_history)
+        out = [(self._timestamps[0], np.broadcast_to(np.eye(4, dtype=np.float32), hist.shape[1:]).copy())]
+        for i in range(1, n):
+            # tracked frame i is written at history slot i (tick i+1 - 1)
+            out.append((self._timestamps[i], hist[i % cap]))
+        return out
+
+    @property
+    def pose_log(self) -> list[tuple[int, np.ndarray]]:
+        return self.materialized_pose_log()
 
     # ------------------------------------------------------------------
     def current_segmentation(self) -> np.ndarray | None:
         """Most recent segmentation mask (model ids per pixel) for -es export."""
-        return getattr(self, "_last_segmentation", None)
+        return self._last_segmentation
 
     def model_ever_active(self, m: int) -> bool:
-        return m == 0 or bool(getattr(self, "_ever_active", set()) and m in self._ever_active)
+        return m in self._ever_active
 
     def pose_log_for(self, m: int) -> list[tuple[int, np.ndarray]]:
         """Pose log in the reference's export convention (CoFusion.cpp:502-519):
         model 0 logs cam->world; objects log P_cam * P_obj^-1 (obj->world)."""
         out = []
-        for ts, poses in self.pose_log:
+        for ts, poses in self.materialized_pose_log():
             if m == 0:
                 out.append((ts, poses))
             else:
@@ -278,7 +360,13 @@ def _step(
     multi = M > 1
 
     def frame_pyr_one(model_id):
-        m = mask if multi else None
+        # masked tracking gates on the PREVIOUS frame's segmentation (the
+        # reference's MASK texture lag) — except with ground-truth masks, which
+        # exist before tracking and carry no such dependency
+        if multi:
+            m = jnp.where(fparams["gt_masks"], mask, state.prev_mask)
+        else:
+            m = None
         return od.build_frame_pyramid(
             filtered, intensity, m, model_id, cam, cfg, fparams["depth_cutoff"],
             tparams.max_depth_rgb,
@@ -309,20 +397,52 @@ def _step(
     res = jax.vmap(track_one)(models.pose, frame_pyrs, model_pyrs)
     new_pose = jnp.where(models.active[:, None, None], res.pose, models.pose)
 
-    # --- fuse + clean -----------------------------------------------------
-    weight = jax.vmap(lambda p, q: _fusion_weight(p, q, fparams["weight_multiplier"]))(
-        new_pose, models.pose
-    )
+    # --- segmentation bookkeeping + model lifecycle (multi-model) ---------
+    # GT-mask path: `mask` already carries model-slot ids (host-remapped).
+    # Spawn (CoFusion.cpp:243-282) and inactivation (:284-291) are DEVICE-side:
+    # slots never change shape, only `active` flags flip — nothing recompiles.
+    slot_ids = jnp.arange(M, dtype=jnp.int32)
+    if multi:
+        from cofusion_tpu.ops import segmentation as sg
 
-    def fuse_clean_one(store, pose, w, model_id, conf_threshold, active):
-        fs = fu.make_frame_surfels(depth, filtered, rgb, cam, w, fparams["depth_cutoff"])
+        counts = jnp.zeros((M,), jnp.int32).at[mask.reshape(-1)].add(1, mode="drop")
+        new_slot = fparams["new_slot"]
+        has_new = fparams["allow_new"] & (new_slot >= 0) & (
+            jnp.take(counts, jnp.clip(new_slot, 0, M - 1)) > 0
+        )
+        is_new_slot = (slot_ids == new_slot) & has_new
+        active_fuse = models.active | is_new_slot
+        # unseen models die immediately (incrementUnseenCount() > 0 on first miss)
+        deactivate = models.active & (slot_ids > 0) & (counts == 0)
+        new_active = active_fuse & ~deactivate
+        # per-model fusion depth clamp = depthMean + 1.2 * depthStd (CoFusion.cpp:228)
+        dmean, dstd, _ = sg.gt_mask_stats(mask, depth, M)
+        model_max_depth = jnp.where(
+            (slot_ids > 0) & active_fuse & (dmean > 0),
+            dmean + 1.2 * dstd,
+            fparams["depth_cutoff"],
+        )
+        # the just-spawned model fuses with weight multiplier 100 (CoFusion.cpp:268)
+        wmult = jnp.where(is_new_slot, 100.0, fparams["weight_multiplier"])
+    else:
+        active_fuse = models.active
+        new_active = models.active
+        has_new = jnp.bool_(False)
+        model_max_depth = jnp.full((M,), fparams["depth_cutoff"])
+        wmult = jnp.full((M,), fparams["weight_multiplier"])
+
+    # --- fuse + clean -----------------------------------------------------
+    weight = jax.vmap(_fusion_weight)(new_pose, models.pose, wmult)
+
+    def fuse_clean_one(store, pose, w, model_id, conf_threshold, active, max_d):
+        fs = fu.make_frame_surfels(depth, filtered, rgb, cam, w, max_d)
         mask_ok = (mask == model_id) if multi else jnp.ones(cam.shape, bool)
         imap = rz.predict_indices(
-            store, pose, cam, tick, fparams["time_delta"], fparams["depth_cutoff"]
+            store, pose, cam, tick, fparams["time_delta"], max_d
         )
-        fused = fu.fuse(store, fs, depth, imap, mask_ok, pose, cam, cfg, tick, fparams["depth_cutoff"])
+        fused = fu.fuse(store, fs, depth, imap, mask_ok, pose, cam, cfg, tick, max_d)
         imap2 = rz.predict_indices(
-            fused, pose, cam, tick, fparams["time_delta"], fparams["depth_cutoff"]
+            fused, pose, cam, tick, fparams["time_delta"], max_d
         )
         cleaned = fu.clean(
             fused, imap2, filtered, mask if multi else None, model_id, pose, cam, cfg,
@@ -332,13 +452,8 @@ def _step(
         return jax.tree.map(lambda new, old: jnp.where(active, new, old), cleaned, store)
 
     new_stores = jax.vmap(fuse_clean_one)(
-        models.store, new_pose, weight, models.model_id, models.conf_threshold, models.active
-    )
-
-    # --- predict for outputs (global model view) --------------------------
-    splat0 = rz.splat_predict(
-        jax.tree.map(lambda a: a[0], new_stores), new_pose[0], cam, cfg, tick,
-        fparams["time_delta"], fparams["depth_cutoff"], models.conf_threshold[0],
+        models.store, new_pose, weight, models.model_id, models.conf_threshold,
+        active_fuse, model_max_depth,
     )
 
     so3_ref = intensity
@@ -350,9 +465,9 @@ def _step(
         pose=new_pose,
         prev_pose=models.pose,
         conf_threshold=models.conf_threshold,
-        max_depth=models.max_depth,
-        active=models.active,
-        age=models.age + models.active.astype(jnp.int32),
+        max_depth=model_max_depth,
+        active=new_active,
+        age=models.age + new_active.astype(jnp.int32),
         model_id=models.model_id,
     )
     new_state = EngineState(
@@ -362,6 +477,8 @@ def _step(
         icp_error_maps=res.icp_error_map,
         prev_rgb=rgb,
         prev_filtered=filtered,
+        prev_mask=mask,
+        pose_history=state.pose_history.at[(tick - 1) % cfg.max_log_frames].set(new_pose),
     )
     outputs = FrameOutputs(
         poses=new_pose,
@@ -369,7 +486,7 @@ def _step(
         icp_count=res.icp_count,
         rgb_error=res.rgb_error,
         surfel_counts=new_stores.count,
-        pred_image=splat0.image,
-        pred_depth=splat0.vert_conf[..., 2],
+        active=new_active,
+        spawned=has_new,
     )
     return new_state, outputs

@@ -179,15 +179,27 @@ def camera_trajectory(n_frames: int, kind: str = "orbit", scale: float = 1.0) ->
     return poses
 
 
-def object_trajectory(n_frames: int, translation=(0.25, 0.0, 0.0)) -> list[np.ndarray]:
-    """Object-to-world poses: linear slide (like the car in car4 / sliding-clock)."""
+def object_trajectory(
+    n_frames: int,
+    translation=(0.25, 0.0, 0.0),
+    center=(0.0, 0.0, 0.0),
+    tilt=(0.0, 0.0, 0.0),
+) -> list[np.ndarray]:
+    """Object-to-world poses: linear slide (like the car in car4 / sliding-clock)
+    of an object whose rest pose is Trans(center) @ Rot(tilt) — a constant tilt
+    exposes three box faces so geometry alone constrains all 6 DoF."""
+    from scipy.spatial.transform import Rotation
+
     out = []
     tr = np.asarray(translation, np.float64)
+    base = np.eye(4)
+    base[:3, :3] = Rotation.from_rotvec(tilt).as_matrix()
+    base[:3, 3] = np.asarray(center, np.float64)
     for i in range(n_frames):
         s = i / max(n_frames - 1, 1)
         T = np.eye(4)
         T[:3, 3] = tr * s
-        out.append(T)
+        out.append(T @ base)
     return out
 
 
@@ -204,8 +216,17 @@ def make_sequence(
     scene = SyntheticScene(seed=seed)
     obj_poses_seq = None
     if moving_object:
-        scene.add_moving_sphere(model_id=1, center=[-0.15, -0.25, 1.8], radius=0.28)
-        obj_poses_seq = object_trajectory(n_frames)
+        # a tilted box, not a sphere: point-to-plane ICP on a sphere has a 3-dim
+        # null space (rotation about center == translation); an axis-aligned box
+        # seen face-on leaves in-plane translation unconstrained; a TILTED box
+        # shows three distinct face normals, pinning all 6 DoF from geometry
+        scene.add_moving_box(model_id=1, lo=[-0.19, -0.19, -0.19], hi=[0.19, 0.19, 0.19])
+        obj_poses_seq = object_trajectory(
+            n_frames,
+            translation=(0.22, 0.1, 0.0),
+            center=(0.14, -0.32, 1.82),
+            tilt=(0.35, 0.5, 0.0),
+        )
     cam_poses = camera_trajectory(n_frames, kind=kind)
     frames = []
     for i, T in enumerate(cam_poses):

@@ -563,7 +563,12 @@ def get_incremental_transformation(
             )
 
             xi = jnp.linalg.solve(A + 1e-12 * jnp.eye(6), b)
-            ok = jnp.all(jnp.isfinite(xi)) & ((icp_cnt + rgb_cnt) > 0) & ~stop_now
+            ok = (
+                jnp.all(jnp.isfinite(xi))
+                & ((icp_cnt + rgb_cnt) >= params.min_correspondences)
+                & (jnp.linalg.norm(xi[:3]) < params.max_translation_jump)
+                & ~stop_now
+            )
             xi = jnp.where(ok, xi, jnp.zeros(6))
             resultRt_new = lie.compose(lie.se3_exp_rt(xi), resultRt)
 
