@@ -146,21 +146,25 @@ class TrackingParams:
 
 @dataclass(frozen=True)
 class SegmentationParams:
-    """CRF motion-segmentation parameters.  Defaults mirror the reference's code
-    defaults (Core/Segmentation/Segmentation.h:124-141); the GUI ships different
-    live values for some (unary error weight 75, threshold 5.5 — GUI/Tools/
-    GUI.h:212-227)."""
+    """CRF motion-segmentation parameters.
+
+    Defaults are the reference's LIVE values — the Pangolin GUI overwrites the
+    C++ code defaults every frame (GUI/Tools/GUI.h:210-227 pushed via
+    MainController.cpp:448-473), so the GUI numbers are what the published
+    system actually runs with.  Notably unary_k_error=0.0375 > the background's
+    hardcoded 0.01 floor (Segmentation.cpp:241): low-confidence ties must break
+    toward background or unobserved object models flood the image."""
 
     crf_iterations: int = 10
-    scale_rgb: float = 1.0 / 30.0
-    scale_depth: float = 1.0 / 0.4
-    scale_pos: float = 1.0 / 8.0
-    weight_appearance: float = 40.0
-    weight_smoothness: float = 40.0
-    unary_threshold_new: float = 5.0
-    unary_k_error: float = 0.01
-    unary_weight_error: float = 40.0
-    min_rel_size_new: float = 0.07
+    scale_rgb: float = 1.0 / 10.0     # GUI pairwiseRGBSTD
+    scale_depth: float = 1.0 / 0.9    # GUI pairwiseDepthSTD
+    scale_pos: float = 1.0 / 1.8      # GUI pairwisePosSTD (superpixel units)
+    weight_appearance: float = 7.0    # GUI (code default 40 is never used live)
+    weight_smoothness: float = 2.0    # GUI (code default 40 is never used live)
+    unary_threshold_new: float = 5.5
+    unary_k_error: float = 0.0375
+    unary_weight_error: float = 75.0
+    min_rel_size_new: float = 0.015
     max_rel_size_new: float = 0.4
 
 
@@ -175,3 +179,10 @@ class FusionParams:
     outlier_coefficient: float = 0.02   # free-space violation decay, copy_unstable.vert
     unstable_time: int = 20             # unstable surfel timeout ticks, copy_unstable.vert:134
     velocity_weight_min: float = 0.5    # computeFusionWeight clamp, Model.cpp:391-406
+    # frames between model spawns ('-offset' flag; GUI modelSpawnOffset=22,
+    # CoFusion.cpp:112,230,256) — also delays the FIRST spawn past map warmup
+    model_spawn_offset: int = 22
+    # consecutive unseen frames before deactivation.  The reference's GUI knob
+    # (modelDeactivateCnt=10) is dead code — inactivation fires on the first
+    # unseen frame (CoFusion.cpp:285); 1 reproduces that, higher adds tolerance.
+    model_deactivate_count: int = 1

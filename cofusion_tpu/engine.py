@@ -49,6 +49,8 @@ class ModelState(NamedTuple):
     active: jnp.ndarray         # (M,) bool
     age: jnp.ndarray            # (M,) int32 ticks since spawn
     model_id: jnp.ndarray       # (M,) int32 mask label of this model
+    unseen: jnp.ndarray         # (M,) int32 consecutive frames without segment
+    spawn_cooldown: jnp.ndarray  # () int32 frames since last spawn (CoFusion.cpp:230)
 
 
 class EngineState(NamedTuple):
@@ -119,12 +121,22 @@ class CoFusion:
         self._ever_active: set[int] = {0}
         self._last_segmentation: np.ndarray | None = None
         self._last_outputs = None
-        self._step_fn = jax.jit(
-            functools.partial(
-                _step, cam=self.cam, cfg=self.cfg, tparams=self.tracking
-            ),
-            donate_argnums=(0,),
-        )
+        from cofusion_tpu.config import SegmentationParams
+
+        self.segmentation = SegmentationParams()
+        self._step_fns: dict[bool, object] = {}
+        self._frames_since_sync = 0
+
+    def _get_step(self, use_crf: bool):
+        if use_crf not in self._step_fns:
+            self._step_fns[use_crf] = jax.jit(
+                functools.partial(
+                    _step, cam=self.cam, cfg=self.cfg, tparams=self.tracking,
+                    sparams=self.segmentation, use_crf=use_crf,
+                ),
+                donate_argnums=(0,),
+            )
+        return self._step_fns[use_crf]
 
     # ------------------------------------------------------------------
     def _init_state(self, rgb, depth, mask) -> EngineState:
@@ -158,6 +170,8 @@ class CoFusion:
             active=jnp.zeros((M,), bool).at[0].set(True),
             age=jnp.zeros((M,), jnp.int32),
             model_id=jnp.arange(M, dtype=jnp.int32),
+            unseen=jnp.zeros((M,), jnp.int32),
+            spawn_cooldown=jnp.int32(0),
         )
         so3_ref = intensity
         for _ in range(cfg.pyramid_levels - 1):
@@ -201,11 +215,13 @@ class CoFusion:
                 self._last_outputs = None
                 return {"tick": 1}
 
-            # --- ground-truth mask path: remap dataset ids -> model slots
-            # (Segmentation.cpp:59-122; the persistent `mapping` vector)
+            # --- choose segmentation source --------------------------------
             new_slot = -1
             mask_np = frame.get("mask")
+            use_crf = False
             if self.enable_multi_model and mask_np is not None:
+                # ground-truth mask path: remap dataset ids -> model slots
+                # (Segmentation.cpp:59-122; the persistent `mapping` vector)
                 free = [s for s in range(1, self.cfg.max_models) if s not in self._used_slots]
                 slot_mask, assigned = self._gt_mapper.remap(
                     np.asarray(mask_np), free, allow_new=bool(free)
@@ -216,6 +232,13 @@ class CoFusion:
                     self._ever_active.add(assigned)
                 self._last_segmentation = slot_mask
                 mask = jnp.asarray(slot_mask, jnp.int32)
+            elif self.enable_multi_model:
+                # motion-cue CRF path: device-side segmentation; the host only
+                # nominates which free slot a new model would occupy
+                use_crf = True
+                free = [s for s in range(1, self.cfg.max_models) if s not in self._used_slots]
+                new_slot = free[0] if free else -1
+                mask = jnp.zeros(self.cam.shape, jnp.int32)
             else:
                 mask = jnp.asarray(
                     mask_np if mask_np is not None else np.zeros(self.cam.shape, np.uint8),
@@ -229,12 +252,31 @@ class CoFusion:
                     time_delta=jnp.int32(self.cfg.time_delta),
                     new_slot=jnp.int32(new_slot),
                     allow_new=jnp.bool_(new_slot >= 0),
-                    gt_masks=jnp.bool_(self.enable_multi_model and mask_np is not None),
+                    gt_masks=jnp.bool_(
+                        self.enable_multi_model and not use_crf and mask_np is not None
+                    ),
+                    spawn_offset=jnp.int32(self.fusion.model_spawn_offset),
+                    deactivate_count=jnp.int32(self.fusion.model_deactivate_count),
                 )
-                self.state, outputs = self._step_fn(self.state, rgb, depth, mask, fparams)
+                self.state, outputs = self._get_step(use_crf)(
+                    self.state, rgb, depth, mask, fparams
+                )
 
             self._last_outputs = outputs
             self._timestamps.append(ts)
+
+            # CRF mode: periodically refresh the host's slot-usage view (the
+            # device spawns/kills models autonomously) — one small blocking read
+            if use_crf:
+                self._frames_since_sync += 1
+                if self._frames_since_sync >= 4:
+                    self._frames_since_sync = 0
+                    active = np.asarray(self.state.models.active)
+                    for s in range(1, self.cfg.max_models):
+                        if active[s]:
+                            self._used_slots.add(s)
+                            self._ever_active.add(s)
+                    self._last_segmentation = np.asarray(self.state.prev_mask).astype(np.uint8)
             if sync:
                 return self.stats()
         return {"tick": None}
@@ -321,9 +363,12 @@ def _step(
     cam: CameraConfig,
     cfg: CoFusionConfig,
     tparams: TrackingParams,
+    sparams=None,
+    use_crf: bool = False,
 ):
-    """The whole frame as one XLA program (CoFusion::processFrame, minus
-    segmentation/ferns which land in later milestones)."""
+    """The whole frame as one XLA program (CoFusion::processFrame; ferns/
+    deformation land in later milestones).  `use_crf` selects motion-cue CRF
+    segmentation (compiled in) vs externally-supplied masks."""
     M = cfg.max_models
     tick = state.tick + 1
     tickf = tick.astype(jnp.float32)
@@ -397,26 +442,76 @@ def _step(
     res = jax.vmap(track_one)(models.pose, frame_pyrs, model_pyrs)
     new_pose = jnp.where(models.active[:, None, None], res.pose, models.pose)
 
-    # --- segmentation bookkeeping + model lifecycle (multi-model) ---------
-    # GT-mask path: `mask` already carries model-slot ids (host-remapped).
+    # --- full-frame (ungated) per-model ICP error maps for segmentation ----
+    fvm, fva = pp.compute_vmap(filtered, cam, fparams["depth_cutoff"])
+    fnm, fna = pp.compute_nmap(fvm, fva)
+    seg_err_maps = jax.vmap(
+        lambda p_new, p_old, mpyr: od.icp_error_map_ungated(
+            p_new, p_old, fvm, fnm, fva & fna, mpyr, cam, tparams
+        )
+    )(new_pose, models.pose, model_pyrs)
+
+    # --- segmentation + model lifecycle (multi-model) ---------------------
+    # Two sources of the per-pixel model mask (Segmentation::performSegmentation):
+    #   * GT path: `mask` already carries model-slot ids (host-remapped);
+    #   * CRF path (use_crf): SLIC + ICP-error unaries + dense CRF mean-field on
+    #     device, fed by THIS frame's tracking error maps (CoFusion.cpp:232).
     # Spawn (CoFusion.cpp:243-282) and inactivation (:284-291) are DEVICE-side:
     # slots never change shape, only `active` flags flip — nothing recompiles.
     slot_ids = jnp.arange(M, dtype=jnp.int32)
+    new_conf_threshold = models.conf_threshold
     if multi:
         from cofusion_tpu.ops import segmentation as sg
 
-        counts = jnp.zeros((M,), jnp.int32).at[mask.reshape(-1)].add(1, mode="drop")
-        new_slot = fparams["new_slot"]
-        has_new = fparams["allow_new"] & (new_slot >= 0) & (
-            jnp.take(counts, jnp.clip(new_slot, 0, M - 1)) > 0
+        if use_crf:
+            # the device picks the spawn slot itself: first INACTIVE slot > 0.
+            # (Using a host-nominated slot races with device-side spawns between
+            # host syncs and can clobber a live model's unary.)
+            inactive = ~models.active
+            any_free = jnp.any(inactive[1:])
+            new_slot = jnp.argmax(inactive.at[0].set(False)).astype(jnp.int32)
+            allow_new = any_free & (
+                models.spawn_cooldown >= fparams["spawn_offset"]
+            )
+            conf_proj = splat.vert_conf[..., 3]
+            seg = sg.perform_segmentation_crf(
+                rgb, depth, seg_err_maps, conf_proj, models.active,
+                jnp.clip(new_slot, 0, M - 1), allow_new, cam, cfg, sparams,
+            )
+            mask = seg.full_segmentation
+            counts = seg.superpixel_count
+            has_new = seg.has_new_label
+            dmean, dstd = seg.depth_mean, seg.depth_std
+            # rising object confidence thresholds (CoFusion.cpp:293-298)
+            new_conf_threshold = jnp.where(
+                slot_ids > 0,
+                jnp.minimum(jnp.maximum(models.conf_threshold, seg.avg_conf), 9.0),
+                models.conf_threshold,
+            )
+        else:
+            new_slot = fparams["new_slot"]
+            counts = jnp.zeros((M,), jnp.int32).at[mask.reshape(-1)].add(1, mode="drop")
+            has_new = (
+                fparams["allow_new"]
+                & (models.spawn_cooldown >= fparams["spawn_offset"])
+                & (jnp.take(counts, jnp.clip(new_slot, 0, M - 1)) > 0)
+            )
+            dmean, dstd, _ = sg.gt_mask_stats(mask, depth, M)
+
+        slot_free = ~jnp.take(
+            models.active, jnp.clip(new_slot, 0, M - 1)
         )
+        has_new = has_new & (new_slot >= 0) & slot_free
         is_new_slot = (slot_ids == new_slot) & has_new
         active_fuse = models.active | is_new_slot
-        # unseen models die immediately (incrementUnseenCount() > 0 on first miss)
-        deactivate = models.active & (slot_ids > 0) & (counts == 0)
+        # unseen-count deactivation (CoFusion.cpp:284-291; the reference fires on
+        # the first miss, deactivate_count=1 reproduces that)
+        miss = models.active & (slot_ids > 0) & (counts == 0)
+        new_unseen = jnp.where(miss, models.unseen + 1, 0)
+        deactivate = new_unseen >= fparams["deactivate_count"]
         new_active = active_fuse & ~deactivate
+        new_cooldown = jnp.where(has_new, 0, jnp.minimum(models.spawn_cooldown + 1, 10000))
         # per-model fusion depth clamp = depthMean + 1.2 * depthStd (CoFusion.cpp:228)
-        dmean, dstd, _ = sg.gt_mask_stats(mask, depth, M)
         model_max_depth = jnp.where(
             (slot_ids > 0) & active_fuse & (dmean > 0),
             dmean + 1.2 * dstd,
@@ -430,6 +525,8 @@ def _step(
         has_new = jnp.bool_(False)
         model_max_depth = jnp.full((M,), fparams["depth_cutoff"])
         wmult = jnp.full((M,), fparams["weight_multiplier"])
+        new_unseen = models.unseen
+        new_cooldown = models.spawn_cooldown
 
     # --- fuse + clean -----------------------------------------------------
     weight = jax.vmap(_fusion_weight)(new_pose, models.pose, wmult)
@@ -464,17 +561,19 @@ def _step(
         store=new_stores,
         pose=new_pose,
         prev_pose=models.pose,
-        conf_threshold=models.conf_threshold,
+        conf_threshold=new_conf_threshold,
         max_depth=model_max_depth,
         active=new_active,
         age=models.age + new_active.astype(jnp.int32),
         model_id=models.model_id,
+        unseen=new_unseen,
+        spawn_cooldown=new_cooldown,
     )
     new_state = EngineState(
         models=new_models,
         tick=tick,
         so3_ref=so3_ref,
-        icp_error_maps=res.icp_error_map,
+        icp_error_maps=seg_err_maps,
         prev_rgb=rgb,
         prev_filtered=filtered,
         prev_mask=mask,

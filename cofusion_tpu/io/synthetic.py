@@ -210,6 +210,7 @@ def make_sequence(
     moving_object: bool = False,
     depth_noise: float = 0.0,
     seed: int = 0,
+    object_half: float = 0.19,
 ):
     """Returns (frames, gt_cam_poses, gt_obj_poses). Each frame is a dict with
     rgb/depth/mask, mimicking the reference FrameData (Core/FrameData.h:25-42)."""
@@ -220,7 +221,8 @@ def make_sequence(
         # null space (rotation about center == translation); an axis-aligned box
         # seen face-on leaves in-plane translation unconstrained; a TILTED box
         # shows three distinct face normals, pinning all 6 DoF from geometry
-        scene.add_moving_box(model_id=1, lo=[-0.19, -0.19, -0.19], hi=[0.19, 0.19, 0.19])
+        h = object_half
+        scene.add_moving_box(model_id=1, lo=[-h, -h, -h], hi=[h, h, h])
         obj_poses_seq = object_trajectory(
             n_frames,
             translation=(0.22, 0.1, 0.0),

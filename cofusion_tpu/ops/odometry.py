@@ -370,6 +370,38 @@ def _rgb_terms(resultRt, frame, model, lvl, cam_l, params, rgb_only):
     return A, b, sigma, count, tmp_error
 
 
+def icp_error_map_ungated(
+    pose_new: jnp.ndarray,
+    pose_prev: jnp.ndarray,
+    vmap_c: jnp.ndarray,
+    nmap_c: jnp.ndarray,
+    valid_c: jnp.ndarray,
+    model: ModelPyramid,
+    cam: CameraConfig,
+    params: TrackingParams,
+) -> jnp.ndarray:
+    """Full-frame per-pixel ICP error at the final pose, WITHOUT mask gating.
+
+    Feeds segmentation unaries.  Masked tracking zeroes a model's error exactly
+    where other models' pixels are (they're gated out of its pyramids), which
+    makes the background look 'perfect' on top of moving objects and starves
+    their labels; the reference avoids this because its vmap mask gate is
+    disabled (cudafuncs.cu:119 FIXME) so the global error surface covers all
+    pixels.  This pass reproduces that coverage deliberately.
+    """
+    frame = FramePyramid(
+        vmap=(vmap_c,), nmap=(nmap_c,), valid=(valid_c,),
+        depth=(None,), intensity=(None,), didx=(None,), didy=(None,), rgb_ok=(None,),
+    )
+    Rprev_inv = pose_prev[:3, :3].T
+    tprev = pose_prev[:3, 3]
+    _, _, _, _, dist_map = _icp_terms(
+        pose_new[:3, :3], pose_new[:3, 3], Rprev_inv, tprev, frame, model, 0,
+        cam.at_level(0), params,
+    )
+    return dist_map
+
+
 def _so3_prealign(ref_intensity, cur_intensity, cam_l, iters: int):
     """Rotation-only image pre-alignment at pyramid level 2
     (RGBDOdometry.cpp:239-310 + SO3Reduction, reduce.cu:973-1111).

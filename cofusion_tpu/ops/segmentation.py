@@ -46,6 +46,9 @@ class SegmentationResult(NamedTuple):
     depth_std: jnp.ndarray           # (L,)
     superpixel_count: jnp.ndarray    # (L,) int32
     bbox: jnp.ndarray                # (L, 4) full-res (left, top, right, bottom)
+    avg_conf: jnp.ndarray            # (L,) mean projected model confidence
+    #   (ModelData::avgConfidence, Segmentation.cpp:193-202 — drives the rising
+    #   object confidence thresholds, CoFusion.cpp:293-298)
 
 
 # ---------------------------------------------------------------------------
@@ -397,6 +400,7 @@ def perform_segmentation_crf(
         depth_std=std2,
         superpixel_count=sp_count,
         bbox=bbox,
+        avg_conf=jnp.mean(low_conf, axis=1),
     )
 
 

@@ -15,7 +15,9 @@ def multi_run(small_cam):
     cfg = CoFusionConfig(camera=small_cam, max_models=3, max_surfels=1 << 16)
     engine = CoFusion(
         cfg,
-        fusion_params=FusionParams(depth_cutoff=4.5, confidence_object=0.01),
+        fusion_params=FusionParams(
+            depth_cutoff=4.5, confidence_object=0.01, model_spawn_offset=0
+        ),
         enable_multi_model=True,
     )
     n = 8
