@@ -182,6 +182,11 @@ class FusionParams:
     # frames between model spawns ('-offset' flag; GUI modelSpawnOffset=22,
     # CoFusion.cpp:112,230,256) — also delays the FIRST spawn past map warmup
     model_spawn_offset: int = 22
+    # fern relocalization (Core/Ferns.cpp): minimum keyframe age for retrieval
+    fern_min_age: int = 300
+    # recovery ICP error gate (Ferns.cpp:237; tuned for 80x60 fern maps — relax
+    # at lower resolutions)
+    fern_icp_error_thresh: float = 3e-4
     # consecutive unseen frames before deactivation.  The reference's GUI knob
     # (modelDeactivateCnt=10) is dead code — inactivation fires on the first
     # unseen frame (CoFusion.cpp:285); 1 reproduces that, higher adds tolerance.

@@ -69,6 +69,9 @@ class EngineState(NamedTuple):
     #   no aliasing hazards: jit outputs that duplicate state leaves share
     #   device buffers, so host-held handles would be overwritten by the next
     #   donated step.  History is materialized in one bulk transfer at export.
+    fern_db: object             # FernDB | int placeholder (relocalization off)
+    lost: jnp.ndarray           # () bool — tracking-lost flag (CoFusion.cpp:301-338)
+    unstable_count: jnp.ndarray  # () int32 consecutive high-covariance frames
 
 
 class FrameOutputs(NamedTuple):
@@ -105,12 +108,14 @@ class CoFusion:
         tracking: TrackingParams | None = None,
         fusion_params: FusionParams | None = None,
         enable_multi_model: bool = False,
+        enable_relocalization: bool = False,
     ):
         self.cfg = cfg
         self.cam = cfg.camera
         self.tracking = tracking or TrackingParams()
         self.fusion = fusion_params or FusionParams()
         self.enable_multi_model = enable_multi_model
+        self.enable_relocalization = enable_relocalization
         self.sw = Stopwatch.get()
         self.state: EngineState | None = None
         self._timestamps: list[int] = []
@@ -128,15 +133,17 @@ class CoFusion:
         self._frames_since_sync = 0
 
     def _get_step(self, use_crf: bool):
-        if use_crf not in self._step_fns:
-            self._step_fns[use_crf] = jax.jit(
+        key = (use_crf, self.enable_relocalization)
+        if key not in self._step_fns:
+            self._step_fns[key] = jax.jit(
                 functools.partial(
                     _step, cam=self.cam, cfg=self.cfg, tparams=self.tracking,
                     sparams=self.segmentation, use_crf=use_crf,
+                    use_reloc=self.enable_relocalization,
                 ),
                 donate_argnums=(0,),
             )
-        return self._step_fns[use_crf]
+        return self._step_fns[key]
 
     # ------------------------------------------------------------------
     def _init_state(self, rgb, depth, mask) -> EngineState:
@@ -179,6 +186,12 @@ class CoFusion:
         pose_history = jnp.broadcast_to(
             jnp.eye(4, dtype=jnp.float32), (cfg.max_log_frames, M, 4, 4)
         )
+        if self.enable_relocalization:
+            from cofusion_tpu.ops import ferns as fern_ops
+
+            fern_db = fern_ops.new_db(cam, max_depth_mm=fp.depth_cutoff * 1000.0)
+        else:
+            fern_db = jnp.int32(0)  # placeholder leaf
         return EngineState(
             models=models,
             tick=jnp.int32(1),
@@ -188,6 +201,9 @@ class CoFusion:
             prev_filtered=filtered,
             prev_mask=mask,
             pose_history=pose_history,
+            fern_db=fern_db,
+            lost=jnp.bool_(False),
+            unstable_count=jnp.int32(0),
         )
 
     # ------------------------------------------------------------------
@@ -257,6 +273,8 @@ class CoFusion:
                     ),
                     spawn_offset=jnp.int32(self.fusion.model_spawn_offset),
                     deactivate_count=jnp.int32(self.fusion.model_deactivate_count),
+                    fern_min_age=jnp.int32(self.fusion.fern_min_age),
+                    fern_icp_thresh=jnp.float32(self.fusion.fern_icp_error_thresh),
                 )
                 self.state, outputs = self._get_step(use_crf)(
                     self.state, rgb, depth, mask, fparams
@@ -365,6 +383,7 @@ def _step(
     tparams: TrackingParams,
     sparams=None,
     use_crf: bool = False,
+    use_reloc: bool = False,
 ):
     """The whole frame as one XLA program (CoFusion::processFrame; ferns/
     deformation land in later milestones).  `use_crf` selects motion-cue CRF
@@ -528,6 +547,86 @@ def _step(
         new_unseen = models.unseen
         new_cooldown = models.spawn_cooldown
 
+    # --- relocalization (use_reloc = '-rl'; CoFusion.cpp:301-338 + Ferns) --
+    if use_reloc:
+        from cofusion_tpu.config import CameraConfig as _CC
+        from cofusion_tpu.ops import ferns as fern_ops
+
+        # tracking-lost detection: any covariance axis above threshold for >10
+        # consecutive frames (CoFusion.cpp:301-338; covariance = lastA^-1)
+        cov = jnp.diag(jnp.linalg.inv(res.A[0] + 1e-9 * jnp.eye(6)))
+        unstable = jnp.any(cov > 1e-4)
+        unstable_count = jnp.where(unstable, state.unstable_count + 1, jnp.int32(0))
+        lost = state.lost | (unstable_count > 10)
+
+        # fern-resolution (1/8) maps
+        factor = 8
+        cam_s = _CC(
+            width=cam.width // factor, height=cam.height // factor,
+            fx=cam.fx / factor, fy=cam.fy / factor,
+            cx=cam.cx / factor, cy=cam.cy / factor,
+        )
+        rgb_s, d_s = rgb, filtered
+        for _ in range(3):
+            rgb_s = (rgb_s[0::2, 0::2] + rgb_s[1::2, 0::2] + rgb_s[0::2, 1::2] + rgb_s[1::2, 1::2]) * 0.25
+            d_s = d_s[0::2, 0::2]
+        vm_s, va_s = pp.compute_vmap(d_s, cam_s, fparams["depth_cutoff"])
+        nm_s, na_s = pp.compute_nmap(vm_s, va_s)
+
+        # keyframe insertion while healthy (the reference's processFerns is
+        # FIXME-disabled, CoFusion.cpp:496 — the machinery is intended to run)
+        db_new, _ = fern_ops.add_frame(
+            state.fern_db, rgb_s, vm_s, nm_s, new_pose[0], tick
+        )
+        fern_db = jax.tree.map(
+            lambda new, old: jnp.where(~lost, new, old), db_new, state.fern_db
+        )
+
+        # retrieval + fern-resolution ICP verification (Ferns::findFrame)
+        match = fern_ops.find_frame(fern_db, rgb_s, vm_s, tick, min_age=fparams["fern_min_age"])
+        # 20 iterations (2x reference): at 1/8 resolution each is microseconds and
+        # the 3e-4 error gate needs full convergence
+        fern_cfg = cfg.replace(use_so3=False, use_pyramid=False, gn_iters=(20, 0, 0), camera=cam_s)
+        fern_tp = tparams.__class__(icp_weight=100.0, min_correspondences=tparams.min_correspondences)
+        fern_frame = od.build_frame_pyramid(
+            jnp.where(va_s, d_s, 0.0), pp.rgb_to_intensity(rgb_s), None, 0,
+            cam_s, fern_cfg, fparams["depth_cutoff"],
+        )
+        fern_int = pp.rgb_to_intensity(match.fern_rgb)
+        fern_valid = match.fern_verts[..., 2] > 0
+        fern_model = od.build_model_pyramid(
+            match.fern_verts, match.fern_norms, fern_valid, fern_int,
+            match.fern_pose, cam_s, fern_cfg,
+        )
+        fern_res = od.get_incremental_transformation(
+            match.fern_pose, fern_frame, fern_model,
+            pp.rgb_to_intensity(rgb_s), cam_s, fern_cfg, fern_tp,
+        )
+        est_pose = fern_res.pose
+        photo = fern_ops.photometric_check(
+            fern_db, vm_s, rgb_s, est_pose, match.fern_pose, match.fern_rgb,
+            cam_s, fparams["depth_cutoff"],
+        )
+        # inlier thresholds 1400/2400 are for 80x60=4800 probes; scale to res
+        npx = cam_s.width * cam_s.height
+        icp_thresh = jnp.where(lost, 1400.0, 2400.0) * (npx / 4800.0)
+        good = (
+            match.found
+            & (fern_res.icp_error < fparams["fern_icp_thresh"])
+            & (fern_res.icp_count > icp_thresh)
+            & (photo < 115.0)
+        )
+        recover = lost & good
+        new_pose = new_pose.at[0].set(jnp.where(recover, est_pose, new_pose[0]))
+        lost = lost & ~recover
+        unstable_count = jnp.where(recover, 0, unstable_count)
+        # fusion is suspended while lost (CoFusion.cpp:463)
+        active_fuse = active_fuse & ~lost
+    else:
+        fern_db = state.fern_db
+        lost = state.lost
+        unstable_count = state.unstable_count
+
     # --- fuse + clean -----------------------------------------------------
     weight = jax.vmap(_fusion_weight)(new_pose, models.pose, wmult)
 
@@ -578,6 +677,9 @@ def _step(
         prev_filtered=filtered,
         prev_mask=mask,
         pose_history=state.pose_history.at[(tick - 1) % cfg.max_log_frames].set(new_pose),
+        fern_db=fern_db,
+        lost=lost,
+        unstable_count=unstable_count,
     )
     outputs = FrameOutputs(
         poses=new_pose,

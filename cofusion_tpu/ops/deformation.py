@@ -85,15 +85,19 @@ def _knn_time_weights(graph: DeformationGraph, points: jnp.ndarray, ptimes: jnp.
     d2 = jnp.sum((cpos - points[:, None, :]) ** 2, axis=-1)
     cvalid = jnp.take(graph.valid, cand)
     d2 = jnp.where(cvalid, d2, jnp.inf)
-    # k smallest
-    neg_top, top_idx = jax.lax.top_k(-d2, k)
+    # k+1 smallest: dmax is the (k+1)-th distance so the k-th weight stays > 0
+    # (with dmax = k-th distance every boundary-clipped window degenerates to
+    # all-zero weights)
+    neg_top, top_idx = jax.lax.top_k(-d2, k + 1)
     dists = jnp.sqrt(jnp.maximum(-neg_top, 0.0))
-    nidx = jnp.take_along_axis(cand, top_idx, axis=1)  # (P, k)
-    dmax = jnp.maximum(dists[:, -1], 1e-6)
-    w = (1.0 - dists / dmax[:, None]) ** 2
+    nidx = jnp.take_along_axis(cand, top_idx[:, :k], axis=1)  # (P, k)
+    dmax = jnp.maximum(dists[:, k], 1e-6)
+    w = (1.0 - dists[:, :k] / dmax[:, None]) ** 2
     w = jnp.where(jnp.isfinite(w), w, 0.0)
-    wsum = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-9)
-    return nidx, w / wsum
+    wsum = jnp.sum(w, axis=1, keepdims=True)
+    # degenerate window (all candidates identical): fall back to uniform
+    w = jnp.where(wsum > 1e-9, w / jnp.maximum(wsum, 1e-9), 1.0 / k)
+    return nidx, w
 
 
 def warp_points(graph: DeformationGraph, points: jnp.ndarray, ptimes: jnp.ndarray, k: int = 4):

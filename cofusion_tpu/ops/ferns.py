@@ -217,8 +217,8 @@ def photometric_check(
     diff_T = jnp.matmul(invert_rt(fern_pose), est_pose, precision=jax.lax.Precision.HIGHEST)
     vt = v @ diff_T[:3, :3].T + diff_T[:3, 3]
     zs = jnp.where(vt[:, 2] == 0, 1.0, vt[:, 2])
-    u0 = (vt[:, 0] * cam_small.fx / zs + cam_small.cx).astype(jnp.int32)
-    v0 = (vt[:, 1] * cam_small.fy / zs + cam_small.cy).astype(jnp.int32)
+    u0 = jnp.round(vt[:, 0] * cam_small.fx / zs + cam_small.cx).astype(jnp.int32)
+    v0 = jnp.round(vt[:, 1] * cam_small.fy / zs + cam_small.cy).astype(jnp.int32)
     inb = (u0 >= 0) & (v0 >= 0) & (u0 < w) & (v0 < h)
     lin2 = jnp.clip(v0, 0, h - 1) * w + jnp.clip(u0, 0, w - 1)
     fern_pix = jnp.take(fern_rgb.reshape(-1, 3), lin2, axis=0)

@@ -104,4 +104,6 @@ def test_sample_constraints(fern_setup):
     src, tgt, ok = fn.sample_constraints(db, vm, jnp.asarray(T), jnp.asarray(T2), 5.0)
     src, tgt, ok = np.asarray(src), np.asarray(tgt), np.asarray(ok)
     assert ok.sum() > 3
-    np.testing.assert_allclose(tgt[ok] - src[ok], [0.0, 0.25, 0.0], atol=1e-5)
+    np.testing.assert_allclose(
+        tgt[ok] - src[ok], np.broadcast_to([0.0, 0.25, 0.0], (ok.sum(), 3)), atol=1e-5
+    )
