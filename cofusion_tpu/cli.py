@@ -110,8 +110,16 @@ def build_from_args(argv: list[str]):
         depth_cutoff=p.float_arg("-d", 5.0),
         confidence_object=p.float_arg("-confO", 0.01),
         confidence_global=p.float_arg("-confG", 10.0),
+        model_spawn_offset=p.int_arg("-offset", 22),
+        outlier_coefficient=p.float_arg("-or", 3.0) / 150.0,
     )
-    engine = CoFusion(cfg, tracking=tracking, fusion_params=fusion, enable_multi_model=not static)
+    engine = CoFusion(
+        cfg,
+        tracking=tracking,
+        fusion_params=fusion,
+        enable_multi_model=not static,
+        enable_relocalization=p.flag("-rl"),
+    )
 
     reader.flip_colors = p.flag("-f")
     options = {
@@ -126,6 +134,8 @@ def build_from_args(argv: list[str]):
         "export_segmentation": p.flag("-es"),
         "keep_models": p.flag("-keep"),
         "static": static,
+        "checkpoint": p.arg("-checkpoint"),
+        "resume": p.arg("-resume"),
     }
     return reader, engine, options
 
@@ -142,6 +152,12 @@ def run(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     reader, engine, opt = build_from_args(argv)
     sw = Stopwatch.get()
+
+    if opt["resume"]:
+        from cofusion_tpu.utils import checkpoint as ckpt
+
+        ckpt.load_engine(engine, opt["resume"])
+        print(f"Resumed from {opt['resume']} at tick {int(engine.state.tick)}.")
 
     if opt["start"]:
         reader.fast_forward(opt["start"])
@@ -184,6 +200,12 @@ def run(argv: list[str] | None = None) -> int:
                         surfels,
                         conf_threshold=float(engine.state.models.conf_threshold[m]),
                     )
+    if opt["checkpoint"]:
+        from cofusion_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_engine(engine, opt["checkpoint"])
+        print(f"Checkpoint saved to {opt['checkpoint']}.")
+
     print(f"Processed {processed} frames.")
     print(sw.report())
     return 0
