@@ -139,10 +139,14 @@ def read_ply(path: str) -> dict:
 
 
 def export_mask_png(path: str, mask: np.ndarray) -> None:
-    """Segmentation export (-es flag; CoFusion.cpp:235-240): ids as 8-bit gray."""
+    """Segmentation export (-es flag; CoFusion.cpp:235-240): ids as 8-bit gray;
+    suppressed 255 labels are zeroed like the reference's THRESH_TOZERO_INV at
+    254."""
     import cv2
 
-    cv2.imwrite(path, mask.astype(np.uint8))
+    m = mask.astype(np.uint8)
+    m = np.where(m > 254, 0, m).astype(np.uint8)
+    cv2.imwrite(path, m)
 
 
 def ate_rmse(est: np.ndarray, gt: np.ndarray, align: bool = True) -> float:
