@@ -40,8 +40,12 @@ class Parse:
     def arg(self, flag: str, default=None):
         if flag in self.argv:
             i = self.argv.index(flag)
-            if i + 1 < len(self.argv) and not self.argv[i + 1].startswith("-"):
-                return self.argv[i + 1]
+            if i + 1 < len(self.argv):
+                nxt = self.argv[i + 1]
+                # a token starting with '-' is the next flag UNLESS it parses as
+                # a number (negative / signed-exponent values, e.g. `-or -3`)
+                if not nxt.startswith("-") or _is_number(nxt):
+                    return nxt
         return default
 
     def float_arg(self, flag: str, default: float) -> float:
@@ -54,6 +58,14 @@ class Parse:
 
     def flag(self, flag: str) -> bool:
         return flag in self.argv
+
+
+def _is_number(token: str) -> bool:
+    try:
+        float(token)
+        return True
+    except ValueError:
+        return False
 
 
 def build_from_args(argv: list[str]):
@@ -69,9 +81,25 @@ def build_from_args(argv: list[str]):
     width, height = 640, 480
     fx, fy, cx, cy = 528.0, 528.0, 320.0, 240.0  # MainController.cpp:108-110
 
+    # an explicit -cal is loaded BEFORE reader construction (the reference sets
+    # Resolution from it first, MainController.cpp:105-115 — the klg reader
+    # needs the true dimensions)
+    cal_explicit = rel(p.arg("-cal"))
+    if cal_explicit:
+        fx, fy, cx, cy, w2, h2 = readers.load_calibration(cal_explicit)
+        if w2 and h2:
+            width, height = w2, h2
+
     log = rel(p.arg("-l"))
     directory = rel(p.arg("-dir"))
     mask_dir = rel(p.arg("-maskdir")) or directory
+    depth_dir = rel(p.arg("-depthdir"))
+
+    # -nm: without a value = ignore masks entirely; with a value N = stop
+    # providing masks from frame N on (MainController.cpp:150-156)
+    max_masks = None
+    if p.flag("-nm"):
+        max_masks = p.int_arg("-nm", 0)
 
     reader: readers.LogReader
     if log:
@@ -80,27 +108,36 @@ def build_from_args(argv: list[str]):
         reader = readers.ImageLogReader(
             directory,
             mask_directory=mask_dir if (p.arg("-maskdir") or _has_masks(mask_dir)) else None,
+            depth_directory=depth_dir,
             color_prefix=p.arg("-colorprefix"),
             depth_prefix=p.arg("-depthprefix"),
             mask_prefix=p.arg("-maskprefix"),
+            max_masks=max_masks,
+            index_width=p.int_arg("-indexW", 0) or None,
         )
     else:
         raise SystemExit("need -l <log.klg> or -dir <dataset dir>")
 
-    cal = rel(p.arg("-cal")) or (reader.calibration_file() if directory else None)
-    if cal:
-        fx, fy, cx, cy, w2, h2 = readers.load_calibration(cal)
-        if w2 and h2:
-            width, height = w2, h2
+    if not cal_explicit and directory:
+        cal = reader.calibration_file()
+        if cal:
+            fx, fy, cx, cy, w2, h2 = readers.load_calibration(cal)
+            if w2 and h2:
+                width, height = w2, h2
 
     cam = CameraConfig(width=width, height=height, fx=fx, fy=fy, cx=cx, cy=cy)
     static = p.flag("-static")
+    from cofusion_tpu.config import CoFusionConfig as _Cfg
+
     cfg = CoFusionConfig(
         camera=cam,
         max_models=1 if static else 4,
         fast_odom=p.flag("-fo"),
         use_so3=not p.flag("-nso"),
         time_delta=p.int_arg("-t", 200),
+        # '-ns': per-model surfel capacity — the runtime analogue of the
+        # reference's compile-time COFUSION_NUM_SURFELS (Model.cpp:92-98)
+        max_surfels=p.int_arg("-ns", _Cfg.max_surfels),
     )
     tracking = TrackingParams(
         icp_weight=p.float_arg("-i", 10.0),
@@ -111,7 +148,15 @@ def build_from_args(argv: list[str]):
         confidence_object=p.float_arg("-confO", 0.01),
         confidence_global=p.float_arg("-confG", 10.0),
         model_spawn_offset=p.int_arg("-offset", 22),
-        outlier_coefficient=p.float_arg("-or", 3.0) / 150.0,
+        # fed directly into the free-space decay 1/(1+coeff*avgViolation) and the
+        # mask-mismatch penalty 0.5+0.5*(1-coeff/10), like the reference's -or
+        # value reaching copy_unstable.vert:140-149 unscaled
+        outlier_coefficient=p.float_arg("-or", 3.0),
+        local_loop_err_thresh=p.float_arg("-ie", 5e-5),
+        local_loop_count_thresh=p.float_arg("-ic", 40000.0),
+        local_loop_cov_thresh=p.float_arg("-cv", 1e-5),
+        fern_photo_thresh=p.float_arg("-pt", 115.0),
+        fern_thresh=p.float_arg("-ft", 0.3095),
     )
     engine = CoFusion(
         cfg,
@@ -119,7 +164,20 @@ def build_from_args(argv: list[str]):
         fusion_params=fusion,
         enable_multi_model=not static,
         enable_relocalization=p.flag("-rl"),
+        # the reference forces openLoop=true (MainController.cpp:203 FIXME), so
+        # its local-loop machinery never runs; '-cl' enables ours (SURVEY §7:
+        # "machinery implemented, gated off by default")
+        close_loops=p.flag("-cl"),
+        frame_to_frame_rgb=p.flag("-ftf"),
     )
+
+    # -p: ground-truth pose override (GroundTruthOdometry)
+    ground_truth = None
+    pose_file = rel(p.arg("-p"))
+    if pose_file:
+        from cofusion_tpu.io.ground_truth import GroundTruthOdometry
+
+        ground_truth = GroundTruthOdometry(pose_file)
 
     reader.flip_colors = p.flag("-f")
     options = {
@@ -130,12 +188,16 @@ def build_from_args(argv: list[str]):
         "frame_skip": p.flag("-fs"),
         "export_dir": rel(p.arg("-exportdir")),
         "export_poses": p.flag("-ep"),
-        "export_models": p.flag("-em"),
+        "export_models": p.flag("-em") or p.flag("-icl"),
         "export_segmentation": p.flag("-es"),
+        "export_labels": p.flag("-el"),
+        "export_normals": p.flag("-en"),
+        "export_viewport": p.flag("-ev"),
         "keep_models": p.flag("-keep"),
         "static": static,
         "checkpoint": p.arg("-checkpoint"),
         "resume": p.arg("-resume"),
+        "ground_truth": ground_truth,
     }
     return reader, engine, options
 
@@ -152,6 +214,9 @@ def run(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     reader, engine, opt = build_from_args(argv)
     sw = Stopwatch.get()
+    if opt["export_segmentation"] or opt["export_labels"]:
+        # materialize the CRF mask every frame so exported masks are never stale
+        engine.sync_segmentation = True
 
     if opt["resume"]:
         from cofusion_tpu.utils import checkpoint as ckpt
@@ -164,9 +229,17 @@ def run(argv: list[str] | None = None) -> int:
 
     end = opt["end"] if opt["end"] >= 0 else reader.num_frames()
     processed = 0
+    any_frame_export = opt["export_segmentation"] or opt["export_labels"] or opt[
+        "export_normals"
+    ] or opt["export_viewport"]
+    if opt["export_dir"] and any_frame_export:
+        os.makedirs(opt["export_dir"], exist_ok=True)
     while reader.has_more() and reader.current_frame < end:
         frame = reader.get_next()
-        stats = engine.process_frame(frame)
+        gt_pose = None
+        if opt["ground_truth"] is not None:
+            gt_pose = opt["ground_truth"].pose_for(frame.get("timestamp", 0))
+        stats = engine.process_frame(frame, gt_pose=gt_pose)
         processed += 1
         # real-time frame-skip policy (GUI/MainController.cpp:413-415)
         if opt["frame_skip"] and sw.timings().get("Run", 0.0) > 1000.0 / 30.0:
@@ -174,14 +247,35 @@ def run(argv: list[str] | None = None) -> int:
             for _ in range(skip):
                 if reader.has_more() and reader.current_frame < end:
                     reader.get_next()
-        if opt["export_dir"] and opt["export_segmentation"]:
-            os.makedirs(opt["export_dir"], exist_ok=True)
-            mask = engine.current_segmentation()
-            if mask is not None:
-                export.export_mask_png(
-                    os.path.join(opt["export_dir"], f"Mask{reader.current_frame - 1:04d}.png"),
-                    mask,
-                )
+        if opt["export_dir"]:
+            # reference tick during this frame's processing == frames seen so far
+            tick = int(engine.state.tick)
+            if opt["export_segmentation"]:
+                mask = engine.current_segmentation()
+                if mask is not None:
+                    # name + THRESH_TOZERO_INV parity with CoFusion.cpp:235-240
+                    export.export_mask_png(
+                        os.path.join(opt["export_dir"], f"Segmentation{tick}.png"),
+                        mask,
+                    )
+            if opt["export_labels"]:
+                mask = engine.current_segmentation()
+                if mask is not None:
+                    export.export_label_png(
+                        os.path.join(opt["export_dir"], f"Labels{tick - 1}.png"), mask
+                    )
+            if opt["export_normals"] or opt["export_viewport"]:
+                views = engine.render_views()
+                if opt["export_normals"]:
+                    export.export_normal_png(
+                        os.path.join(opt["export_dir"], f"Normals{tick - 1}.png"),
+                        views["normal"], views["valid"],
+                    )
+                if opt["export_viewport"]:
+                    export.export_viewport_png(
+                        os.path.join(opt["export_dir"], f"Viewport{tick - 1}.png"),
+                        views["image"], views["valid"],
+                    )
 
     if opt["export_dir"]:
         os.makedirs(opt["export_dir"], exist_ok=True)
@@ -192,13 +286,18 @@ def run(argv: list[str] | None = None) -> int:
                 if m == 0 or engine.model_ever_active(m):
                     export.export_poses("", engine.pose_log_for(m), m, opt["export_dir"])
         if opt["export_models"]:
+            poses = np.asarray(engine.state.models.pose)
             for m in range(engine.cfg.max_models):
                 if m == 0 or engine.model_ever_active(m):
                     surfels = engine.download_model(m)
+                    # object clouds go to world frame: Tp = P_cam * P_obj^-1
+                    # (CoFusion.cpp:695-698); model 0 is already world-frame
+                    transform = None if m == 0 else poses[0] @ np.linalg.inv(poses[m])
                     export.export_ply(
                         os.path.join(opt["export_dir"], f"cloud-{m}.ply"),
                         surfels,
                         conf_threshold=float(engine.state.models.conf_threshold[m]),
+                        transform=transform,
                     )
     if opt["checkpoint"]:
         from cofusion_tpu.utils import checkpoint as ckpt

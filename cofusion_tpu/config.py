@@ -95,6 +95,14 @@ class CoFusionConfig:
     crf_iterations: int = 10
     slic_iterations: int = 5           # Core/Segmentation/Slic.cpp:38
 
+    # --- loop closure --------------------------------------------------------
+    # deformation-graph node capacity (reference samples <=1024 nodes,
+    # DeformationGraph.cpp:425; dense normal equations are (12G)^2)
+    deform_nodes: int = 256
+    # local-loop constraint sampling stride in pixels (consSample=20,
+    # Core/CoFusion.cpp:39-44)
+    cons_sample: int = 20
+
     # --- misc --------------------------------------------------------------
     time_delta: int = 200              # active/inactive surfel window, ModelProjection.h:41
     dtype: str = "float32"
@@ -176,7 +184,10 @@ class FusionParams:
     depth_cutoff: float = 3.0           # '-d' flag default, MainController
     confidence_global: float = 10.0     # '-cg' global model confidence threshold
     confidence_object: float = 9.0      # '-co' object model confidence threshold
-    outlier_coefficient: float = 0.02   # free-space violation decay, copy_unstable.vert
+    # free-space violation decay 1/(1+coeff*avgViolation[m]) + mask-mismatch
+    # penalty 0.5+0.5*(1-coeff/10) — the '-or' flag value used UNSCALED, exactly
+    # like copy_unstable.vert:138-149 (reference default 3)
+    outlier_coefficient: float = 3.0
     unstable_time: int = 20             # unstable surfel timeout ticks, copy_unstable.vert:134
     velocity_weight_min: float = 0.5    # computeFusionWeight clamp, Model.cpp:391-406
     # frames between model spawns ('-offset' flag; GUI modelSpawnOffset=22,
@@ -187,7 +198,17 @@ class FusionParams:
     # recovery ICP error gate (Ferns.cpp:237; tuned for 80x60 fern maps — relax
     # at lower resolutions)
     fern_icp_error_thresh: float = 3e-4
+    # photometric verification gate ('-pt', Ferns.cpp:237 photoThresh=115)
+    fern_photo_thresh: float = 115.0
+    # keyframe-add dissimilarity threshold ('-ft', Ferns.cpp:72-142)
+    fern_thresh: float = 0.3095
     # consecutive unseen frames before deactivation.  The reference's GUI knob
     # (modelDeactivateCnt=10) is dead code — inactivation fires on the first
     # unseen frame (CoFusion.cpp:285); 1 reproduces that, higher adds tolerance.
     model_deactivate_count: int = 1
+    # local loop closure gates ('-cv', '-ie', '-ic' flags;
+    # MainController.cpp:176-196 defaults; count is for 640x480 and scaled by
+    # resolution at the use site)
+    local_loop_cov_thresh: float = 1e-5
+    local_loop_err_thresh: float = 5e-5
+    local_loop_count_thresh: float = 40000.0

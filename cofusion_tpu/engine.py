@@ -86,6 +86,7 @@ class FrameOutputs(NamedTuple):
     surfel_counts: jnp.ndarray  # (M,)
     active: jnp.ndarray         # (M,) bool
     spawned: jnp.ndarray        # () bool — a new model was created this frame
+    loop_closed: jnp.ndarray    # () bool — a local loop closure deformed the map
 
 
 def _fusion_weight(pose: jnp.ndarray, prev_pose: jnp.ndarray, multiplier) -> jnp.ndarray:
@@ -109,6 +110,8 @@ class CoFusion:
         fusion_params: FusionParams | None = None,
         enable_multi_model: bool = False,
         enable_relocalization: bool = False,
+        close_loops: bool = False,
+        frame_to_frame_rgb: bool = False,
     ):
         self.cfg = cfg
         self.cam = cfg.camera
@@ -116,6 +119,8 @@ class CoFusion:
         self.fusion = fusion_params or FusionParams()
         self.enable_multi_model = enable_multi_model
         self.enable_relocalization = enable_relocalization
+        self.close_loops = close_loops
+        self.frame_to_frame_rgb = frame_to_frame_rgb
         self.sw = Stopwatch.get()
         self.state: EngineState | None = None
         self._timestamps: list[int] = []
@@ -126,20 +131,35 @@ class CoFusion:
         self._ever_active: set[int] = {0}
         self._last_segmentation: np.ndarray | None = None
         self._last_outputs = None
+        # host mirror of the device's spawn_cooldown counter: the GT-mask path
+        # must only COMMIT a mask-id->slot mapping on frames where the device
+        # will actually accept the spawn (cooldown >= spawn_offset), otherwise
+        # the id is consumed but the model never exists and its pixels are
+        # forever excluded from the background (the reference re-tries every
+        # frame because it records the mapping only when allowNew is true,
+        # Segmentation.cpp:86-90 + CoFusion.cpp:112)
+        self._host_cooldown = 0
+        # when True (set by the CLI for -es), the CRF segmentation is pulled to
+        # the host EVERY frame so exported masks are never stale
+        self.sync_segmentation = False
+        # pose-history chunks flushed to host before the device ring wraps
+        self._flushed_poses: list[np.ndarray] = []
         from cofusion_tpu.config import SegmentationParams
 
         self.segmentation = SegmentationParams()
-        self._step_fns: dict[bool, object] = {}
+        self._step_fns: dict[tuple, object] = {}
         self._frames_since_sync = 0
+        self._render_fn = None
 
-    def _get_step(self, use_crf: bool):
-        key = (use_crf, self.enable_relocalization)
+    def _get_step(self, use_crf: bool, use_gt_pose: bool = False):
+        key = (use_crf, self.enable_relocalization, use_gt_pose, self.close_loops)
         if key not in self._step_fns:
             self._step_fns[key] = jax.jit(
                 functools.partial(
                     _step, cam=self.cam, cfg=self.cfg, tparams=self.tracking,
                     sparams=self.segmentation, use_crf=use_crf,
                     use_reloc=self.enable_relocalization,
+                    use_gt_pose=use_gt_pose, close_loops=self.close_loops,
                 ),
                 donate_argnums=(0,),
             )
@@ -207,13 +227,21 @@ class CoFusion:
         )
 
     # ------------------------------------------------------------------
-    def process_frame(self, frame: dict, weight_multiplier: float = 1.0, sync: bool = False) -> dict:
+    def process_frame(
+        self,
+        frame: dict,
+        weight_multiplier: float = 1.0,
+        sync: bool = False,
+        gt_pose: np.ndarray | None = None,
+    ) -> dict:
         """One frame.  `frame` dict: rgb uint8 (H,W,3), depth float32 meters (H,W),
         optional mask uint8 (H,W), timestamp int.
 
         The call is ASYNC by default: the jitted step is dispatched and small
         device handles are logged; nothing blocks on the device.  Pass
         `sync=True` (or call `.stats()`) to materialize this frame's numbers.
+        `gt_pose`: 4x4 camera-to-world pose override ('-p' mode; tracking and
+        segmentation are skipped, CoFusion.cpp:342).
         """
         with self.sw.section("Run"):
             rgb = jnp.asarray(frame["rgb"], jnp.float32)
@@ -229,6 +257,7 @@ class CoFusion:
                     )
                 self._timestamps.append(ts)
                 self._last_outputs = None
+                self._last_segmentation = np.zeros(self.cam.shape, np.uint8)
                 return {"tick": 1}
 
             # --- choose segmentation source --------------------------------
@@ -237,10 +266,14 @@ class CoFusion:
             use_crf = False
             if self.enable_multi_model and mask_np is not None:
                 # ground-truth mask path: remap dataset ids -> model slots
-                # (Segmentation.cpp:59-122; the persistent `mapping` vector)
+                # (Segmentation.cpp:59-122; the persistent `mapping` vector).
+                # allow_new mirrors the device's spawn_cooldown gate so the
+                # mapping commits exactly when the device spawns; unmapped ids
+                # fall back to background and retry next frame.
                 free = [s for s in range(1, self.cfg.max_models) if s not in self._used_slots]
+                allow = bool(free) and self._host_cooldown >= self.fusion.model_spawn_offset
                 slot_mask, assigned = self._gt_mapper.remap(
-                    np.asarray(mask_np), free, allow_new=bool(free)
+                    np.asarray(mask_np), free, allow_new=allow
                 )
                 if assigned is not None:
                     new_slot = assigned
@@ -275,29 +308,68 @@ class CoFusion:
                     deactivate_count=jnp.int32(self.fusion.model_deactivate_count),
                     fern_min_age=jnp.int32(self.fusion.fern_min_age),
                     fern_icp_thresh=jnp.float32(self.fusion.fern_icp_error_thresh),
+                    fern_photo_thresh=jnp.float32(self.fusion.fern_photo_thresh),
+                    fern_thresh=jnp.float32(self.fusion.fern_thresh),
+                    ftf=jnp.bool_(self.frame_to_frame_rgb),
+                    gt_pose=jnp.asarray(
+                        gt_pose if gt_pose is not None else np.eye(4), jnp.float32
+                    ),
+                    loop_cov_thresh=jnp.float32(self.fusion.local_loop_cov_thresh),
+                    loop_err_thresh=jnp.float32(self.fusion.local_loop_err_thresh),
+                    loop_count_thresh=jnp.float32(self.fusion.local_loop_count_thresh),
                 )
-                self.state, outputs = self._get_step(use_crf)(
+                self.state, outputs = self._get_step(use_crf, gt_pose is not None)(
                     self.state, rgb, depth, mask, fparams
                 )
 
             self._last_outputs = outputs
             self._timestamps.append(ts)
 
+            # spawn-cooldown mirror (matches the device update exactly:
+            # new_cooldown = 0 if has_new else cooldown+1)
+            if new_slot >= 0 and not use_crf and mask_np is not None:
+                self._host_cooldown = 0
+            else:
+                self._host_cooldown = min(self._host_cooldown + 1, 10000)
+
             # CRF mode: periodically refresh the host's slot-usage view (the
             # device spawns/kills models autonomously) — one small blocking read
             if use_crf:
                 self._frames_since_sync += 1
-                if self._frames_since_sync >= 4:
-                    self._frames_since_sync = 0
+                if self._frames_since_sync >= 4 or self.sync_segmentation:
                     active = np.asarray(self.state.models.active)
                     for s in range(1, self.cfg.max_models):
                         if active[s]:
                             self._used_slots.add(s)
                             self._ever_active.add(s)
+                if self._frames_since_sync >= 4:
+                    self._frames_since_sync = 0
+                if self.sync_segmentation:
+                    # -es export: materialize THIS frame's segmentation (the
+                    # reference writes the current mask every frame,
+                    # CoFusion.cpp:235-240)
                     self._last_segmentation = np.asarray(self.state.prev_mask).astype(np.uint8)
+                elif self._frames_since_sync == 0:
+                    self._last_segmentation = np.asarray(self.state.prev_mask).astype(np.uint8)
+
+            # flush the on-device pose-history ring to the host before it wraps
+            # (sequences longer than max_log_frames would otherwise silently
+            # alias early slots)
+            n_tracked = len(self._timestamps) - 1
+            cap = self.cfg.max_log_frames
+            if n_tracked - len(self._flushed_poses) >= cap - 8:
+                self._flush_pose_history()
             if sync:
                 return self.stats()
         return {"tick": None}
+
+    def _flush_pose_history(self) -> None:
+        """Move device pose-history entries into the host-side chunk list."""
+        n_tracked = len(self._timestamps) - 1
+        cap = self.cfg.max_log_frames
+        hist = np.asarray(self.state.pose_history)
+        for i in range(len(self._flushed_poses) + 1, n_tracked + 1):
+            self._flushed_poses.append(hist[i % cap].copy())
 
     def stats(self) -> dict:
         """Materialize the most recent frame's outputs (blocks on the device).
@@ -320,19 +392,57 @@ class CoFusion:
         return st
 
     def materialized_pose_log(self) -> list[tuple[int, np.ndarray]]:
-        """Pose log as numpy: one bulk transfer of the on-device history."""
+        """Pose log as numpy: host-flushed chunks + one bulk transfer of the
+        on-device tail (frames beyond the last flush)."""
         n = len(self._timestamps)
         cap = self.cfg.max_log_frames
+        nf = len(self._flushed_poses)
+        if (n - 1) - nf > cap:
+            raise RuntimeError(
+                f"pose history wrapped: {n - 1 - nf} unflushed frames exceed "
+                f"max_log_frames={cap} (flush cadence broken)"
+            )
         hist = np.asarray(self.state.pose_history)
         out = [(self._timestamps[0], np.broadcast_to(np.eye(4, dtype=np.float32), hist.shape[1:]).copy())]
         for i in range(1, n):
             # tracked frame i is written at history slot i (tick i+1 - 1)
-            out.append((self._timestamps[i], hist[i % cap]))
+            if i <= nf:
+                out.append((self._timestamps[i], self._flushed_poses[i - 1]))
+            else:
+                out.append((self._timestamps[i], hist[i % cap]))
         return out
 
     @property
     def pose_log(self) -> list[tuple[int, np.ndarray]]:
         return self.materialized_pose_log()
+
+    def render_views(self) -> dict:
+        """Global-model splat render at the current pose — feeds the -ev
+        (viewport RGB) and -en (normals) exports (GUI/MainController.cpp:394-407
+        renders the scene; headless equivalent is the model's predicted view)."""
+        if self._render_fn is None:
+            def _render(store, pose, tick, fp):
+                one = jax.tree.map(lambda a: a[0], store)
+                sp = rz.splat_predict(
+                    one, pose[0], self.cam, self.cfg, tick,
+                    fp["time_delta"], fp["depth_cutoff"], fp["conf"],
+                )
+                return sp.image, sp.normal_rad[..., :3], sp.valid
+
+            self._render_fn = jax.jit(_render)
+        fp = dict(
+            time_delta=jnp.int32(self.cfg.time_delta),
+            depth_cutoff=jnp.float32(self.fusion.depth_cutoff),
+            conf=self.state.models.conf_threshold[0],
+        )
+        img, nrm, ok = self._render_fn(
+            self.state.models.store, self.state.models.pose, self.state.tick, fp
+        )
+        return {
+            "image": np.asarray(img),
+            "normal": np.asarray(nrm),
+            "valid": np.asarray(ok),
+        }
 
     # ------------------------------------------------------------------
     def current_segmentation(self) -> np.ndarray | None:
@@ -384,10 +494,21 @@ def _step(
     sparams=None,
     use_crf: bool = False,
     use_reloc: bool = False,
+    use_gt_pose: bool = False,
+    close_loops: bool = False,
 ):
-    """The whole frame as one XLA program (CoFusion::processFrame; ferns/
-    deformation land in later milestones).  `use_crf` selects motion-cue CRF
-    segmentation (compiled in) vs externally-supplied masks."""
+    """The whole frame as one XLA program (CoFusion::processFrame).
+
+    Static variants (each compiles its own program, cached per mode):
+      * `use_crf` — motion-cue CRF segmentation vs externally-supplied masks;
+      * `use_reloc` — fern keyframing + tracking-lost recovery ('-rl');
+      * `use_gt_pose` — '-p': the global pose comes from fparams['gt_pose'] and
+        tracking/segmentation are skipped entirely, mirroring the reference's
+        `else { overridePose(*inPose) }` branch (CoFusion.cpp:210,342);
+      * `close_loops` — model-to-model local loop closure + deformation-graph
+        map correction (CoFusion.cpp:387-459; dead in the reference release —
+        assert(0) at :447 — implemented here behind this gate per SURVEY §7).
+    """
     M = cfg.max_models
     tick = state.tick + 1
     tickf = tick.astype(jnp.float32)
@@ -396,6 +517,12 @@ def _step(
     # --- preprocess -------------------------------------------------------
     intensity = pp.rgb_to_intensity(rgb)
     filtered = pp.bilateral_filter(depth, fparams["depth_cutoff"])
+
+    if use_gt_pose:
+        return _step_gt_pose(
+            state, rgb, depth, mask, filtered, intensity, fparams,
+            cam=cam, cfg=cfg, tick=tick,
+        )
 
     # --- per-model prediction (tracking targets) --------------------------
     def predict_one(store, pose, conf_threshold):
@@ -408,12 +535,16 @@ def _step(
 
     # --- FillIn (global model only, CoFusion.cpp:541): composite the previous
     # frame's raw data into prediction holes so tracking degrades to
-    # frame-to-frame where the map has no confident surfels yet
+    # frame-to-frame where the map has no confident surfels yet.  Passthrough
+    # wiring mirrors Model::performFillIn (Model.cpp:901-910): geometry passes
+    # through raw while lost; the image also does in '-ftf' mode.
     from cofusion_tpu.ops import fillin as fi
 
     splat0_for_fill = jax.tree.map(lambda a: a[0], splat)
     filled = fi.fill_in(
-        splat0_for_fill, state.prev_rgb, state.prev_filtered, cam, fparams["depth_cutoff"]
+        splat0_for_fill, state.prev_rgb, state.prev_filtered, cam, fparams["depth_cutoff"],
+        passthrough_geom=state.lost,
+        passthrough_rgb=state.lost | fparams["ftf"],
     )
     pred_vert = splat.vert_conf[..., :3].at[0].set(filled.vert)
     pred_norm = splat.normal_rad[..., :3].at[0].set(filled.normal)
@@ -462,13 +593,18 @@ def _step(
     new_pose = jnp.where(models.active[:, None, None], res.pose, models.pose)
 
     # --- full-frame (ungated) per-model ICP error maps for segmentation ----
-    fvm, fva = pp.compute_vmap(filtered, cam, fparams["depth_cutoff"])
-    fnm, fna = pp.compute_nmap(fvm, fva)
-    seg_err_maps = jax.vmap(
-        lambda p_new, p_old, mpyr: od.icp_error_map_ungated(
-            p_new, p_old, fvm, fnm, fva & fna, mpyr, cam, tparams
-        )
-    )(new_pose, models.pose, model_pyrs)
+    # only the CRF consumes these; skip the extra per-model ICP pass (plus the
+    # full-res vmap/nmap) in GT-mask and single-model configurations
+    if use_crf:
+        fvm, fva = pp.compute_vmap(filtered, cam, fparams["depth_cutoff"])
+        fnm, fna = pp.compute_nmap(fvm, fva)
+        seg_err_maps = jax.vmap(
+            lambda p_new, p_old, mpyr: od.icp_error_map_ungated(
+                p_new, p_old, fvm, fnm, fva & fna, mpyr, cam, tparams
+            )
+        )(new_pose, models.pose, model_pyrs)
+    else:
+        seg_err_maps = jnp.zeros((M,) + cam.shape, jnp.float32)
 
     # --- segmentation + model lifecycle (multi-model) ---------------------
     # Two sources of the per-pixel model mask (Segmentation::performSegmentation):
@@ -576,7 +712,8 @@ def _step(
         # keyframe insertion while healthy (the reference's processFerns is
         # FIXME-disabled, CoFusion.cpp:496 — the machinery is intended to run)
         db_new, _ = fern_ops.add_frame(
-            state.fern_db, rgb_s, vm_s, nm_s, new_pose[0], tick
+            state.fern_db, rgb_s, vm_s, nm_s, new_pose[0], tick,
+            threshold=fparams["fern_thresh"],
         )
         fern_db = jax.tree.map(
             lambda new, old: jnp.where(~lost, new, old), db_new, state.fern_db
@@ -614,8 +751,16 @@ def _step(
             match.found
             & (fern_res.icp_error < fparams["fern_icp_thresh"])
             & (fern_res.icp_count > icp_thresh)
-            & (photo < 115.0)
+            & (photo < fparams["fern_photo_thresh"])
         )
+        # fern match while HEALTHY: candidate for a global deformation
+        # (CoFusion.cpp:360-384; constraints sampled at fern probes)
+        fern_cand = good & ~lost
+        fern_est = est_pose
+        fern_src, fern_tgt, fern_ok = fern_ops.sample_constraints(
+            fern_db, vm_s, new_pose[0], est_pose, fparams["depth_cutoff"]
+        )
+
         recover = lost & good
         new_pose = new_pose.at[0].set(jnp.where(recover, est_pose, new_pose[0]))
         lost = lost & ~recover
@@ -626,30 +771,104 @@ def _step(
         fern_db = state.fern_db
         lost = state.lost
         unstable_count = state.unstable_count
+        fern_cand = jnp.bool_(False)
+        fern_est = jnp.eye(4, dtype=jnp.float32)
+        fern_src = jnp.zeros((1, 3), jnp.float32)
+        fern_tgt = jnp.zeros((1, 3), jnp.float32)
+        fern_ok = jnp.zeros((1,), bool)
+
+    # --- local loop closure + deformation (global model; CoFusion.cpp:387-459,
+    # gated off by default like the reference's assert(0)-dead path) ---------
+    stores_in = models.store
+    loop_accepted = jnp.bool_(False)
+    loop_deformed = jnp.bool_(False)
+    if close_loops:
+        from cofusion_tpu.ops import deformation as df
+        from cofusion_tpu.ops import local_loop as ll
+
+        store0 = jax.tree.map(lambda a: a[0], models.store)
+        pose0 = new_pose[0]
+        conf0 = models.conf_threshold[0]
+        # ACTIVE prediction at the POST-tracking pose (the reference refreshes
+        # with predict() right before the loop block, CoFusion.cpp:347)
+        act = rz.splat_predict(
+            store0, pose0, cam, cfg, state.tick, fparams["time_delta"],
+            fparams["depth_cutoff"], conf0,
+        )
+        # gates are tuned for 640x480: inlier counts scale with pixel count and
+        # the covariance diagonal scales with its inverse (cov ~ 1/N)
+        npx_scale = (cam.width * cam.height) / (640.0 * 480.0)
+        res_ll = ll.local_loop(
+            store0, pose0, act, cam, cfg, tparams, state.tick,
+            fparams["time_delta"], fparams["depth_cutoff"], conf0,
+            fparams["loop_cov_thresh"] / npx_scale, fparams["loop_err_thresh"],
+            fparams["loop_count_thresh"] * npx_scale,
+        )
+        local_accept = res_ll.accepted & ~lost & (res_ll.num_constraints >= 3)
+        # constraint source: a healthy fern match takes priority over the local
+        # loop (the reference's rawGraph.size()==0 gating, CoFusion.cpp:387) —
+        # both feed the SAME deformation optimizer
+        is_fern = fern_cand if use_reloc else jnp.bool_(False)
+        C = max(res_ll.src.shape[0], fern_src.shape[0])
+
+        def _pad(a):
+            n = a.shape[0]
+            if n >= C:
+                return a
+            fill = jnp.zeros((C - n,) + a.shape[1:], a.dtype)
+            return jnp.concatenate([a, fill], axis=0)
+
+        cons_src = jnp.where(is_fern, _pad(fern_src), _pad(res_ll.src))
+        cons_tgt = jnp.where(is_fern, _pad(fern_tgt), _pad(res_ll.tgt))
+        cons_ok = jnp.where(is_fern, _pad(fern_ok), _pad(res_ll.cons_valid))
+        est_loop = jnp.where(is_fern, fern_est, res_ll.est_pose)
+        loop_accepted = is_fern | local_accept
+
+        def do_deform(operand):
+            store, est_pose = operand
+            graph = df.sample_graph(store, cfg.deform_nodes)
+            src_times = jnp.full((C,), tickf)
+            graph_opt, err = df.optimize(graph, cons_src, src_times, cons_tgt, cons_ok)
+            mce = df.mean_constraint_error(graph_opt, cons_src, src_times, cons_tgt, cons_ok)
+            # fern matches take the reference's meanConsError gate
+            # (Deformation.cpp:134); local matches apply unconditionally like
+            # the reference's !fernMatch branch
+            ok = jnp.isfinite(err) & (~is_fern | (mce < 3e-4))
+            warped = df.apply_to_surfels(graph_opt, store)
+            warped = df.refresh_timestamps(
+                warped, est_pose, cam, tick, fparams["depth_cutoff"], conf0
+            )
+            out = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), warped, store
+            )
+            return out, ok
+
+        def no_deform(operand):
+            store, _ = operand
+            return store, jnp.bool_(False)
+
+        # lax.cond: the deformation solve (dense GN over 12*deform_nodes vars +
+        # full-map warp) only executes on accepted loop closures
+        store0_new, loop_deformed = jax.lax.cond(
+            loop_accepted, do_deform, no_deform, (store0, est_loop)
+        )
+        apply_loop = loop_accepted & loop_deformed
+        new_pose = new_pose.at[0].set(
+            jnp.where(apply_loop, est_loop, new_pose[0])
+        )
+        stores_in = jax.tree.map(
+            lambda all_m, one: all_m.at[0].set(
+                jnp.where(apply_loop, one, all_m[0])
+            ),
+            models.store, store0_new,
+        )
 
     # --- fuse + clean -----------------------------------------------------
     weight = jax.vmap(_fusion_weight)(new_pose, models.pose, wmult)
-
-    def fuse_clean_one(store, pose, w, model_id, conf_threshold, active, max_d):
-        fs = fu.make_frame_surfels(depth, filtered, rgb, cam, w, max_d)
-        mask_ok = (mask == model_id) if multi else jnp.ones(cam.shape, bool)
-        imap = rz.predict_indices(
-            store, pose, cam, tick, fparams["time_delta"], max_d
-        )
-        fused = fu.fuse(store, fs, depth, imap, mask_ok, pose, cam, cfg, tick, max_d)
-        imap2 = rz.predict_indices(
-            fused, pose, cam, tick, fparams["time_delta"], max_d
-        )
-        cleaned = fu.clean(
-            fused, imap2, filtered, mask if multi else None, model_id, pose, cam, cfg,
-            tick, fparams["time_delta"], conf_threshold, fparams["outlier_coeff"],
-        )
-        # inactive models pass through untouched (scalar `active` broadcasts)
-        return jax.tree.map(lambda new, old: jnp.where(active, new, old), cleaned, store)
-
-    new_stores = jax.vmap(fuse_clean_one)(
-        models.store, new_pose, weight, models.model_id, models.conf_threshold,
-        active_fuse, model_max_depth,
+    new_stores = _fuse_clean_all(
+        stores_in, new_pose, weight, models.model_id, models.conf_threshold,
+        active_fuse, model_max_depth, depth, filtered, rgb, mask, multi,
+        cam, cfg, tick, fparams,
     )
 
     so3_ref = intensity
@@ -689,5 +908,95 @@ def _step(
         surfel_counts=new_stores.count,
         active=new_active,
         spawned=has_new,
+        loop_closed=loop_accepted & loop_deformed,
+    )
+    return new_state, outputs
+
+
+def _fuse_clean_all(
+    stores, new_pose, weight, model_ids, conf_thresholds, active_fuse,
+    model_max_depth, depth, filtered, rgb, mask, multi, cam, cfg, tick, fparams,
+):
+    """Vmapped per-model fuse + clean (CoFusion.cpp:463-489: predictIndices ->
+    fuse -> predictIndices -> clean for every model)."""
+
+    def fuse_clean_one(store, pose, w, model_id, conf_threshold, active, max_d):
+        fs = fu.make_frame_surfels(depth, filtered, rgb, cam, w, max_d)
+        mask_ok = (mask == model_id) if multi else jnp.ones(cam.shape, bool)
+        imap = rz.predict_indices(
+            store, pose, cam, tick, fparams["time_delta"], max_d
+        )
+        fused = fu.fuse(store, fs, depth, imap, mask_ok, pose, cam, cfg, tick, max_d)
+        imap2 = rz.predict_indices(
+            fused, pose, cam, tick, fparams["time_delta"], max_d
+        )
+        cleaned = fu.clean(
+            fused, imap2, filtered, mask if multi else None, model_id, pose, cam, cfg,
+            tick, fparams["time_delta"], conf_threshold, fparams["outlier_coeff"],
+        )
+        # inactive models pass through untouched (scalar `active` broadcasts)
+        return jax.tree.map(lambda new, old: jnp.where(active, new, old), cleaned, store)
+
+    return jax.vmap(fuse_clean_one)(
+        stores, new_pose, weight, model_ids, conf_thresholds, active_fuse,
+        model_max_depth,
+    )
+
+
+def _step_gt_pose(
+    state: EngineState,
+    rgb, depth, mask, filtered, intensity, fparams,
+    *, cam: CameraConfig, cfg: CoFusionConfig, tick,
+):
+    """'-p' ground-truth pose branch (CoFusion.cpp:340-343): tracking,
+    segmentation, reloc and loop closure are all skipped — the global pose is
+    overridden with the provided one and active models fuse/clean at their
+    current poses."""
+    M = cfg.max_models
+    models = state.models
+    multi = M > 1
+    new_pose = models.pose.at[0].set(fparams["gt_pose"])
+    wmult = jnp.full((M,), fparams["weight_multiplier"])
+    weight = jax.vmap(_fusion_weight)(new_pose, models.pose, wmult)
+    model_max_depth = jnp.full((M,), fparams["depth_cutoff"])
+    new_stores = _fuse_clean_all(
+        models.store, new_pose, weight, models.model_id, models.conf_threshold,
+        models.active, model_max_depth, depth, filtered, rgb, mask, multi,
+        cam, cfg, tick, fparams,
+    )
+    so3_ref = intensity
+    for _ in range(cfg.pyramid_levels - 1):
+        so3_ref = pp.pyr_down_gauss(so3_ref)
+    new_models = models._replace(
+        store=new_stores,
+        pose=new_pose,
+        prev_pose=models.pose,
+        max_depth=model_max_depth,
+        age=models.age + models.active.astype(jnp.int32),
+        spawn_cooldown=jnp.minimum(models.spawn_cooldown + 1, 10000),
+    )
+    new_state = EngineState(
+        models=new_models,
+        tick=tick,
+        so3_ref=so3_ref,
+        icp_error_maps=jnp.zeros((M,) + cam.shape, jnp.float32),
+        prev_rgb=rgb,
+        prev_filtered=filtered,
+        prev_mask=mask,
+        pose_history=state.pose_history.at[(tick - 1) % cfg.max_log_frames].set(new_pose),
+        fern_db=state.fern_db,
+        lost=state.lost,
+        unstable_count=state.unstable_count,
+    )
+    zm = jnp.zeros((M,), jnp.float32)
+    outputs = FrameOutputs(
+        poses=new_pose,
+        icp_error=zm,
+        icp_count=zm,
+        rgb_error=zm,
+        surfel_counts=new_stores.count,
+        active=models.active,
+        spawned=jnp.bool_(False),
+        loop_closed=jnp.bool_(False),
     )
     return new_state, outputs

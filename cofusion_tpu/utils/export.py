@@ -149,6 +149,59 @@ def export_mask_png(path: str, mask: np.ndarray) -> None:
     cv2.imwrite(path, m)
 
 
+# per-model label colors (Core/Shaders/color_table.glsl, 31 entries; label 0 =
+# dark background, suppressed 255 -> black)
+_COLOR_TABLE = np.array(
+    [
+        (0.1, 0.1, 0.1), (0, 0, 1), (1, 0, 0), (0, 1, 0), (1, 0.10, 0.72),
+        (1, 0.82, 0), (0, 0.51, 0.96), (0, 0.55, 0.27), (0.65, 0.37, 0.24),
+        (0.31, 0, 0.41), (0, 1, 0.96), (0.24, 0.48, 0.55), (0.93, 0.65, 1),
+        (0.82, 1, 0.58), (0.72, 0.31, 1), (0.89, 0.10, 0.34), (0.51, 0.51, 0),
+        (0, 1, 0.58), (0.37, 0, 0.17), (0.96, 0.51, 0.06), (0.79, 1, 0),
+        (0.17, 0.24, 0), (0, 0.20, 0.75), (1, 0.79, 0.51), (0, 0.17, 0.37),
+        (0.62, 0.44, 0.55), (0.31, 0.72, 0.06), (0.62, 0.75, 1),
+        (0.58, 0.62, 0.48), (1, 0.48, 0.68), (0.62, 0.03, 0),
+    ],
+    np.float32,
+)
+
+
+def colorize_labels(mask: np.ndarray) -> np.ndarray:
+    """Label ids -> RGB uint8 per color_table.glsl; 255 (suppressed) -> black."""
+    ids = mask.astype(np.int64) % len(_COLOR_TABLE)
+    rgb = (_COLOR_TABLE[ids] * 255.0).astype(np.uint8)
+    return np.where((mask == 255)[..., None], np.uint8(0), rgb)
+
+
+def export_label_png(path: str, mask: np.ndarray) -> None:
+    """-el export: colorized label image (GUI/MainController.cpp:394-397 renders
+    the scene in DRAW_LABEL mode; headless equivalent = colorized mask)."""
+    import cv2
+
+    cv2.imwrite(path, colorize_labels(mask)[..., ::-1])
+
+
+def export_normal_png(path: str, normal: np.ndarray, valid: np.ndarray) -> None:
+    """-en export: normals as RGB (n*0.5+0.5, the usual normal-map encoding the
+    reference's DRAW_NORMALS shader path uses)."""
+    import cv2
+
+    img = np.clip((normal * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+    img = np.where(valid[..., None], img, np.uint8(0))
+    cv2.imwrite(path, img[..., ::-1])
+
+
+def export_viewport_png(path: str, image: np.ndarray, valid: np.ndarray | None = None) -> None:
+    """-ev export: predicted RGB view of the global model
+    (GUI/MainController.cpp:404-407)."""
+    import cv2
+
+    img = np.clip(image, 0, 255).astype(np.uint8)
+    if valid is not None:
+        img = np.where(valid[..., None], img, np.uint8(0))
+    cv2.imwrite(path, img[..., ::-1])
+
+
 def ate_rmse(est: np.ndarray, gt: np.ndarray, align: bool = True) -> float:
     """Absolute trajectory error RMSE (TUM benchmark metric) with optional SE(3)
     alignment (Horn/umeyama on the translation tracks) — the metric used by
