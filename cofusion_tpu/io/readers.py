@@ -251,27 +251,41 @@ class ImageLogReader(LogReader):
         self,
         directory: str,
         mask_directory: str | None = None,
+        depth_directory: str | None = None,
         color_prefix: str | None = None,
         depth_prefix: str | None = None,
         mask_prefix: str | None = None,
         rate_hz: float = 24.0,
         prefetch: int = 15,
         png_depth_scale: float = 0.001,
+        max_masks: int | None = None,
+        index_width: int | None = None,
     ):
+        """`depth_directory`: separate depth dir (-depthdir, ==dir if None).
+        `max_masks`: stop providing masks from this frame index on (-nm N;
+        -nm without a value = 0 = ignore masks entirely,
+        ImageLogReader.h:69-70 + MainController.cpp:150-156).
+        `index_width`: number of digits in the frame index (-indexW, default
+        autodetect) — used to disambiguate when several numbered series share
+        a prefix."""
         super().__init__()
         self.dir = directory
         self.mask_dir = mask_directory
         self.rate_hz = rate_hz
         self.png_depth_scale = png_depth_scale
+        self.max_masks = max_masks
+        self.index_width = index_width
 
         self.color_files = self._detect(directory, color_prefix, ("Color", "color", "rgb", "Rgb"))
-        self.depth_files = self._detect(directory, depth_prefix, ("Depth", "depth"))
+        self.depth_files = self._detect(
+            depth_directory or directory, depth_prefix, ("Depth", "depth")
+        )
         if len(self.color_files) != len(self.depth_files):
             raise IOError(
                 f"color/depth count mismatch: {len(self.color_files)} vs {len(self.depth_files)}"
             )
         self.mask_files: list[str] | None = None
-        if mask_directory:
+        if mask_directory and (max_masks is None or max_masks > 0):
             self.mask_files = self._detect(mask_directory, mask_prefix, ("Mask", "mask"))
             if len(self.mask_files) < len(self.color_files):
                 raise IOError("fewer masks than frames")
@@ -282,11 +296,15 @@ class ImageLogReader(LogReader):
         self._next_to_load = 0
         self._thread.start()
 
-    @staticmethod
-    def _detect(directory: str, prefix: str | None, candidates) -> list[str]:
+    def _detect(self, directory: str, prefix: str | None, candidates) -> list[str]:
         for p in ([prefix] if prefix else candidates):
             for ext in ("png", "jpg", "jpeg", "exr", "tiff"):
                 files = sorted(glob.glob(os.path.join(directory, f"{p}*.{ext}")))
+                if files and self.index_width:
+                    files = [
+                        f for f in files
+                        if (m := _NUM_RE.search(f)) and len(m.group(1)) == self.index_width
+                    ]
                 if files:
                     return files
         raise IOError(f"no image files with prefixes {candidates} in {directory}")
@@ -313,7 +331,7 @@ class ImageLogReader(LogReader):
             d = cv2.imread(dpath, cv2.IMREAD_ANYDEPTH)
             depth = d.astype(np.float32) * self.png_depth_scale
         mask = None
-        if self.mask_files:
+        if self.mask_files and (self.max_masks is None or i < self.max_masks):
             mask = cv2.imread(self.mask_files[i], cv2.IMREAD_GRAYSCALE)
         return {
             "rgb": rgb,

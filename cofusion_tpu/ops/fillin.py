@@ -31,17 +31,24 @@ def fill_in(
     filtered_depth: jnp.ndarray,
     cam: CameraConfig,
     depth_cutoff,
-    passthrough=False,
+    passthrough_geom=False,
+    passthrough_rgb=False,
 ) -> FilledPrediction:
-    """Predicted-over-raw compositing.  `passthrough`: bool or traced bool — when
-    true, raw data is used everywhere (FillIn.cpp passthrough arg)."""
+    """Predicted-over-raw compositing (bools may be traced).
+
+    The reference splits the passthrough switch per channel
+    (Model::performFillIn, Model.cpp:901-910): vertex/normal pass through raw
+    when `lost`; the image ALSO passes through in frame-to-frame-RGB mode
+    (lost || frameToFrameRGB), which is what makes '-ftf' tracking
+    frame-to-frame photometrically while staying frame-to-model geometrically."""
     vmap_raw, raw_ok = pp.compute_vmap(filtered_depth, cam, depth_cutoff)
     nmap_raw, n_ok = pp.compute_nmap(vmap_raw, raw_ok)
     raw_ok = raw_ok & n_ok
 
-    use_pred = splat.valid & jnp.logical_not(passthrough)
-    image = jnp.where(use_pred[..., None], splat.image, raw_rgb)
-    vert = jnp.where(use_pred[..., None], splat.vert_conf[..., :3], vmap_raw)
-    normal = jnp.where(use_pred[..., None], splat.normal_rad[..., :3], nmap_raw)
-    valid = use_pred | raw_ok
+    use_pred_g = splat.valid & jnp.logical_not(passthrough_geom)
+    use_pred_i = splat.valid & jnp.logical_not(passthrough_rgb)
+    image = jnp.where(use_pred_i[..., None], splat.image, raw_rgb)
+    vert = jnp.where(use_pred_g[..., None], splat.vert_conf[..., :3], vmap_raw)
+    normal = jnp.where(use_pred_g[..., None], splat.normal_rad[..., :3], nmap_raw)
+    valid = use_pred_g | raw_ok
     return FilledPrediction(image=image, vert=vert, normal=normal, valid=valid)

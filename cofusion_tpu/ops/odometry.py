@@ -81,7 +81,9 @@ class OdometryResult(NamedTuple):
     rgb_error: jnp.ndarray
     rgb_count: jnp.ndarray
     so3_error: jnp.ndarray
-    icp_error_map: jnp.ndarray  # (H, W) per-pixel ICP distance at level 0 (for CRF)
+    # NOTE: the per-pixel ICP error surface the CRF needs is computed separately
+    # (icp_error_map_ungated) and only in CRF configurations — recomputing it
+    # here for every model every frame would be pure dead work otherwise.
 
 
 def _rotate(R: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
@@ -192,6 +194,60 @@ def build_frame_pyramid(
         nmap=tuple(nmaps),
         valid=tuple(valids),
         depth=tuple(dcap),
+        intensity=tuple(intens),
+        didx=tuple(dxs),
+        didy=tuple(dys),
+        rgb_ok=tuple(rgb_oks),
+    )
+
+
+def build_frame_pyramid_from_maps(
+    vmap_c: jnp.ndarray,
+    nmap_c: jnp.ndarray,
+    valid: jnp.ndarray,
+    intensity: jnp.ndarray,
+    cam: CameraConfig,
+    cfg: CoFusionConfig,
+    max_depth_rgb: float = 6.0,
+) -> FramePyramid:
+    """FramePyramid from PREDICTED camera-frame maps instead of a raw depth
+    frame — the model-to-model odometry's "current" side (the reference's
+    splat-prediction initICP variant, RGBDOdometry.cpp:120-141: copyMaps +
+    resizeVMap/resizeNMap on the splat textures)."""
+    levels = cfg.pyramid_levels
+    vms = [jnp.where(valid[..., None], vmap_c, 0.0)]
+    nms = [jnp.where(valid[..., None], nmap_c, 0.0)]
+    oks = [valid]
+    for _ in range(levels - 1):
+        vm, ok_v = pp.resize_map_half(vms[-1], oks[-1])
+        nm, _ = pp.resize_map_half(nms[-1], oks[-1], normalize=True)
+        vms.append(vm)
+        nms.append(nm)
+        oks.append(ok_v)
+
+    depth0 = pp.vertices_to_depth(vmap_c, valid, max_depth_rgb)
+    depths = [depth0]
+    intens = [intensity]
+    for _ in range(levels - 1):
+        depths.append(pp.pyr_down_gauss(depths[-1]))
+        intens.append(pp.pyr_down_gauss(intens[-1]))
+
+    dxs, dys, rgb_oks = [], [], []
+    for lvl in range(levels):
+        dx, dy = pp.sobel_gradients(intens[lvl])
+        dxs.append(dx)
+        dys.append(dy)
+        Hl, Wl = intens[lvl].shape
+        u = jax.lax.broadcasted_iota(jnp.int32, (Hl, Wl), 1)
+        v = jax.lax.broadcasted_iota(jnp.int32, (Hl, Wl), 0)
+        border = (u < Wl - 5) & (v < Hl - 1)
+        rgb_oks.append(_window_ok(intens[lvl] > 0) & border)
+
+    return FramePyramid(
+        vmap=tuple(vms),
+        nmap=tuple(nms),
+        valid=tuple(oks),
+        depth=tuple(depths),
         intensity=tuple(intens),
         didx=tuple(dxs),
         didy=tuple(dys),
@@ -549,8 +605,6 @@ def get_incremental_transformation(
     )
     carry = (resultRt0, stats0)
 
-    icp_error_map = jnp.zeros(cam.shape, jnp.float32)
-
     for lvl in range(levels - 1, -1, -1):
         cam_l = cam.at_level(lvl)
         n_it = iters[lvl]
@@ -621,13 +675,6 @@ def get_incremental_transformation(
     resultRt, st = carry
     currentT = lie.compose(pose_prev, lie.invert_rt(resultRt))
 
-    # final per-pixel ICP error surface at level 0 for segmentation unaries
-    if use_icp:
-        _, _, _, _, icp_error_map = _icp_terms(
-            currentT[:3, :3], currentT[:3, 3], Rprev_inv, tprev, frame, model, 0,
-            cam.at_level(0), params,
-        )
-
     # translation-jump sanity reset (RGBDOdometry.cpp:464-467)
     if use_rgb:
         jumped = jnp.linalg.norm(currentT[:3, 3] - tprev) > params.max_translation_jump
@@ -642,5 +689,4 @@ def get_incremental_transformation(
         rgb_error=st["rgb_err"],
         rgb_count=st["rgb_cnt"],
         so3_error=so3_err,
-        icp_error_map=icp_error_map,
     )
