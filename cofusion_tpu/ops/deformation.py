@@ -217,6 +217,18 @@ def optimize(
     return graph._replace(R=params["R"], t=params["t"]), final_err
 
 
+def mean_constraint_error(
+    graph: DeformationGraph, src, src_times, tgt, cons_valid, k: int = 4
+):
+    """Mean distance of warped constraint sources to their targets — the
+    reference's `meanConsError` gate for fern-match deformations
+    (Deformation.cpp:134: accept if meanConsError < 0.0003 && error < 0.12)."""
+    warped = warp_points(graph, src, src_times, k)
+    d = jnp.linalg.norm(warped - tgt, axis=-1)
+    w = cons_valid.astype(jnp.float32)
+    return jnp.sum(d * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 def apply_to_surfels(graph: DeformationGraph, store: SurfelStore) -> SurfelStore:
     """Warp all surfels through the graph (copy_unstable.vert:155-335)."""
     new_pos = warp_points(graph, store.pos, store.init_time)
@@ -226,6 +238,47 @@ def apply_to_surfels(graph: DeformationGraph, store: SurfelStore) -> SurfelStore
         pos=jnp.where(keep, new_pos, store.pos),
         normal=jnp.where(keep, new_norm, store.normal),
     )
+
+
+def refresh_timestamps(
+    store: SurfelStore,
+    pose: jnp.ndarray,
+    cam,
+    time,
+    depth_cutoff,
+    conf_threshold,
+) -> SurfelStore:
+    """Post-deformation timestamp bookkeeping — the reference's
+    `synthesizeDepth` + copy_unstable.vert:316-333: after a deformation (a
+    second pose update in the same frame), confident surfels whose projection
+    agrees with the synthesized depth of the deformed model get
+    last_time = time so they stay in the active window at the corrected pose."""
+    from cofusion_tpu.ops import rasterize as rz
+    from cofusion_tpu.ops.lie import invert_rt
+    from cofusion_tpu.ops.rasterize import _rotate
+
+    H, W = cam.height, cam.width
+    # synthesized depth: nearest confident surfel per pixel, no time window
+    # (ModelProjection::synthesizeDepth passes timeDelta = USHRT_MAX)
+    imap = rz.predict_indices(
+        store, pose, cam, time, jnp.int32(1 << 30), depth_cutoff,
+        conf_threshold=conf_threshold,
+    )
+    synth = jnp.where(imap.valid, imap.vert_conf[..., 2], 0.0).reshape(-1)
+
+    t_inv = invert_rt(pose)
+    local = _rotate(t_inv[:3, :3], store.pos) + t_inv[:3, 3]
+    z = local[..., 2]
+    zs = jnp.where(z == 0, 1.0, z)
+    x = local[..., 0] * cam.fx / zs + cam.cx
+    y = local[..., 1] * cam.fy / zs + cam.cy
+    xi = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 1)
+    inb = (x > 0) & (y > 0) & (x < W) & (y < H) & (z > 0) & (z < depth_cutoff)
+    d = jnp.take(synth, yi * W + xi)
+    bump = store.valid & (store.conf > conf_threshold) & inb & (d > 0) & (z < d + 0.1)
+    tf = jnp.asarray(time, jnp.float32)
+    return store._replace(last_time=jnp.where(bump, tf, store.last_time))
 
 
 def apply_to_pose(graph: DeformationGraph, pose: jnp.ndarray, pose_time) -> jnp.ndarray:
