@@ -125,16 +125,42 @@ def add_frame(
     threshold=0.3095,
 ) -> tuple[FernDB, jnp.ndarray]:
     """Store the frame as a keyframe if sufficiently novel (Ferns::addFrame).
-    Returns (db, added bool).  Full: oldest-free slot policy is append-only with
-    drop-on-overflow (the reference grows unboundedly)."""
+    Returns (db, added bool).
+
+    Capacity policy (divergence: the reference grows its keyframe vector
+    unboundedly, Ferns.cpp:72-142; we are fixed-capacity): when full, a novel
+    frame EVICTS the least unique stored keyframe — the one whose closest
+    neighbor in the database is most similar — so long sequences keep diverse
+    relocalization coverage instead of silently losing new viewpoints."""
+    F = db.codes.shape[0]
     codes, good = encode(db, rgb_small, verts_small)
     good_count = jnp.sum(good.astype(jnp.int32))
     dissim = _dissimilarity(db, codes, good_count)
     minimum = jnp.min(dissim)
-    add = ((minimum > threshold) | (db.count == 0)) & (good_count > 0) & (
-        db.count < db.codes.shape[0]
-    )
-    slot = jnp.where(add, db.count, db.codes.shape[0])  # drop if not adding
+    add = ((minimum > threshold) | (db.count == 0)) & (good_count > 0)
+    full = db.count >= F
+
+    def _eviction_slot():
+        # pairwise keyframe dissimilarity: co-occurrence of equal good codes
+        valid_ij = (db.codes[:, None, :] != 255) & (db.codes[None, :, :] != 255)
+        co = jnp.sum(
+            ((db.codes[:, None, :] == db.codes[None, :, :]) & valid_ij).astype(jnp.int32),
+            axis=2,
+        )
+        max_co = jnp.minimum(db.good_codes[:, None], db.good_codes[None, :]).astype(
+            jnp.float32
+        )
+        pair_dissim = (max_co - co.astype(jnp.float32)) / jnp.maximum(max_co, 1.0)
+        in_db = jnp.arange(F) < db.count
+        pair_ok = in_db[:, None] & in_db[None, :] & ~jnp.eye(F, dtype=bool)
+        nearest = jnp.min(jnp.where(pair_ok, pair_dissim, jnp.inf), axis=1)
+        # least unique = smallest nearest-neighbor dissimilarity
+        return jnp.argmin(jnp.where(in_db, nearest, jnp.inf)).astype(jnp.int32)
+
+    # the O(F^2 N) eviction scan only runs once the database is actually full
+    evict = jax.lax.cond(full, _eviction_slot, lambda: jnp.int32(0))
+
+    slot = jnp.where(add, jnp.where(full, evict, db.count), F)  # F = drop
 
     def put(arr, val):
         return arr.at[slot].set(val, mode="drop")
@@ -148,7 +174,7 @@ def add_frame(
             rgb=put(db.rgb, rgb_small),
             verts=put(db.verts, verts_small),
             norms=put(db.norms, norms_small),
-            count=db.count + add.astype(jnp.int32),
+            count=db.count + (add & ~full).astype(jnp.int32),
         ),
         add,
     )

@@ -107,3 +107,26 @@ def test_sample_constraints(fern_setup):
     np.testing.assert_allclose(
         tgt[ok] - src[ok], np.broadcast_to([0.0, 0.25, 0.0], (ok.sum(), 3)), atol=1e-5
     )
+
+
+def test_eviction_when_full(fern_setup):
+    """A full database must evict its least unique keyframe for a novel frame
+    instead of silently dropping it (round-1 VERDICT item 10; the reference
+    grows unboundedly, Ferns.cpp:72-142)."""
+    db, small_maps, cam_small = fern_setup
+    db = db._replace(
+        codes=db.codes[:3], good_codes=db.good_codes[:3], poses=db.poses[:3],
+        src_time=db.src_time[:3], rgb=db.rgb[:3], verts=db.verts[:3],
+        norms=db.norms[:3],
+    )  # capacity 3
+    poses = camera_trajectory(6, kind="orbit", scale=40.0)
+    added_times = []
+    for i, T in enumerate(poses):
+        rgb, vm, nm = small_maps(T)
+        db, added = fn.add_frame(db, rgb, vm, nm, jnp.asarray(T.astype(np.float32)), i)
+        if bool(added):
+            added_times.append(i)
+    assert int(db.count) == 3
+    assert len(added_times) > 3, added_times  # overflow additions happened
+    # the newest accepted keyframe must be present (eviction, not drop)
+    assert added_times[-1] in np.asarray(db.src_time).tolist()
