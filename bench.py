@@ -1,16 +1,22 @@
-"""Benchmark: steady-state SLAM frame rate on real TPU hardware.
+"""Benchmark: steady-state SLAM frame rate on real TPU hardware — on the
+NORTH-STAR workload (BASELINE.md): 640x480, multi-model engine with motion-cue
+CRF segmentation and 3 independently-moving objects, reference-scale surfel
+capacity.  The CUDA reference runs this at ~30 Hz on a TitanX (README.md:7,46-48,
+frame-skip policy GUI/MainController.cpp:413-415).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline (BASELINE.md): the CUDA reference runs "real-time" at ~30 Hz on a
-TitanX at 640x480; the rebuild target is >= 30 FPS with active models on one
-TPU v5e chip.  This measures the full engine loop (preprocess -> track -> fuse
--> clean) on a synthetic 640x480 sequence, excluding compilation and the first
-warm-up frames, with the host loop running async (device-bound).
+Notes:
+  * the compiled per-frame program has STATIC shapes — its cost is identical
+    whether 0 or 3 object slots are active, so the measured FPS is the true
+    multi-model+CRF workload cost regardless of segmentation outcomes;
+  * BENCH_SURFELS / BENCH_MODELS / BENCH_FRAMES env vars override the scale
+    knobs for capacity-scaling studies (see PARITY.md).
 """
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/cofusion_tpu_xla"))
@@ -21,20 +27,49 @@ import numpy as np
 
 from cofusion_tpu.config import CameraConfig, CoFusionConfig, FusionParams
 from cofusion_tpu.engine import CoFusion
-from cofusion_tpu.io.synthetic import make_sequence
+from cofusion_tpu.io.synthetic import SyntheticScene, camera_trajectory, object_trajectory
+
+
+def make_multi_object_frames(cam: CameraConfig, n: int):
+    """3 tilted moving boxes (sliding like car4 objects) + orbiting camera."""
+    scene = SyntheticScene()
+    specs = [
+        (1, (0.14, -0.32, 1.82), (0.22, 0.10, 0.0), (0.35, 0.5, 0.0), 0.19),
+        (2, (-0.55, 0.45, 2.30), (-0.18, 0.00, 0.12), (0.2, -0.4, 0.3), 0.16),
+        (3, (0.75, 0.55, 2.60), (0.00, -0.20, -0.10), (-0.3, 0.25, 0.4), 0.17),
+    ]
+    trajs = {}
+    for mid, center, trans, tilt, h in specs:
+        scene.add_moving_box(model_id=mid, lo=[-h, -h, -h], hi=[h, h, h])
+        trajs[mid] = object_trajectory(n, translation=trans, center=center, tilt=tilt)
+    cam_poses = camera_trajectory(n, kind="orbit")
+    frames = []
+    for i in range(n):
+        op = {mid: trajs[mid][i] for mid in trajs}
+        rgb, depth, _ = scene.render(cam, cam_poses[i], object_poses=op)
+        frames.append({"rgb": rgb, "depth": depth, "mask": None, "timestamp": i})
+    return frames
 
 
 def main():
     cam = CameraConfig()  # 640x480 reference default
-    cfg = CoFusionConfig(camera=cam, max_models=1, max_surfels=1 << 20)
-    engine = CoFusion(cfg, fusion_params=FusionParams(depth_cutoff=4.5))
+    max_surfels = int(os.environ.get("BENCH_SURFELS", 1 << 22))  # 4.2M/model
+    max_models = int(os.environ.get("BENCH_MODELS", 4))          # bg + 3 objects
+    measured = int(os.environ.get("BENCH_FRAMES", 30))
+    cfg = CoFusionConfig(camera=cam, max_models=max_models, max_surfels=max_surfels)
+    engine = CoFusion(
+        cfg,
+        fusion_params=FusionParams(
+            depth_cutoff=4.5, confidence_object=0.01, confidence_global=1.5,
+            model_spawn_offset=4, model_deactivate_count=3,
+        ),
+        enable_multi_model=True,  # no masks provided -> motion-cue CRF path
+    )
 
     n_unique = 12
-    frames, _, _ = make_sequence(cam, n_unique, kind="orbit")
+    frames = make_multi_object_frames(cam, n_unique)
 
-    warmup = 3
-    measured = 20
-    # warm-up (includes compile)
+    warmup = 4
     for i in range(warmup):
         engine.process_frame(frames[i % n_unique])
     jax.block_until_ready(engine.state.models.pose)
@@ -46,11 +81,18 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = measured / dt
+    active = np.asarray(engine.state.models.active)
+    counts = np.asarray(engine.state.models.store.count)
+    print(
+        f"[bench] active models: {active.tolist()}, surfels: {counts.tolist()}, "
+        f"capacity {max_surfels} x {max_models} models",
+        file=sys.stderr,
+    )
     baseline_fps = 30.0
     print(
         json.dumps(
             {
-                "metric": "engine_fps_640x480_static",
+                "metric": "engine_fps_640x480_3objects_crf",
                 "value": round(fps, 3),
                 "unit": "fps",
                 "vs_baseline": round(fps / baseline_fps, 3),
