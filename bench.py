@@ -82,10 +82,12 @@ def main():
 
     fps = measured / dt
     active = np.asarray(engine.state.models.active)
-    counts = np.asarray(engine.state.models.store.count)
+    counts = np.asarray(engine.state.models.store.count) + np.asarray(
+        engine.state.models.stable.count
+    )
     print(
         f"[bench] active models: {active.tolist()}, surfels: {counts.tolist()}, "
-        f"capacity {max_surfels} x {max_models} models",
+        f"capacity {max_surfels}+{engine.cfg.active_capacity} x {max_models} models",
         file=sys.stderr,
     )
     baseline_fps = 30.0

@@ -72,6 +72,20 @@ class CoFusionConfig:
     # model (Core/Model/Model.cpp:92-98); scenes in the published datasets use far
     # fewer.  2^20 (~1M) is the default here; raise for large scenes.
     max_surfels: int = 1 << 20
+    # ACTIVE-tier capacity (two-tier store): every per-frame pass (render, fuse,
+    # clean, compact) touches only surfels inside the reference's own
+    # time-window concept (time - lastUpdate <= timeDelta — the gate every
+    # reference shader applies, index_map.vert:48 / copy_unstable.vert:136).
+    # Surfels aging out of the window migrate to an append-only STABLE tier of
+    # `max_surfels` capacity that per-frame passes never touch.  Keeping the
+    # active tier <= ~1M keeps every randomly-gathered/scattered operand inside
+    # VMEM (~16 MB/core), where XLA's TPU gather/scatter fast path lives —
+    # measured: the same ops fall off a >50x cliff once operands spill to HBM.
+    # None -> min(2^20, max_surfels).
+    active_surfels: int | None = None
+    # Surfels migrated active->stable per frame (static expel-block size); the
+    # overflow stays active one more frame and re-queues.
+    expel_block_log2: int = 16
     # Max surfels appended per frame (bounded by decimated pixel count).
     max_new_surfels_log2: int = 15  # 32768 >= 640*480/16
 
@@ -112,6 +126,17 @@ class CoFusionConfig:
     @property
     def max_new_surfels(self) -> int:
         return 1 << self.max_new_surfels_log2
+
+    @property
+    def active_capacity(self) -> int:
+        """Active-tier surfel capacity (see `active_surfels`)."""
+        if self.active_surfels is not None:
+            return min(self.active_surfels, self.max_surfels)
+        return min(1 << 20, self.max_surfels)
+
+    @property
+    def expel_block(self) -> int:
+        return min(1 << self.expel_block_log2, self.max_surfels, self.active_capacity)
 
     def replace(self, **kw) -> "CoFusionConfig":
         return dataclasses.replace(self, **kw)

@@ -39,9 +39,22 @@ from cofusion_tpu.utils.stopwatch import Stopwatch
 
 
 class ModelState(NamedTuple):
-    """Batched per-model state; every leaf has a leading (M,) model axis."""
+    """Batched per-model state; every leaf has a leading (M,) model axis.
 
-    store: SurfelStore          # leaves (M, N, ...)
+    Two-tier surfel map (TPU-native redesign of the reference's single VBO):
+    `store` is the ACTIVE tier — the surfels inside the reference's own
+    time-window (time - lastUpdate <= timeDelta, the gate every per-frame
+    reference shader applies: index_map.vert:48, copy_unstable.vert:136).  All
+    per-frame passes (render, fuse, clean, compact) touch only this tier, whose
+    capacity is bounded (cfg.active_capacity ~ 1M) so every randomly
+    gathered/scattered operand stays inside VMEM where XLA's TPU fast path
+    lives.  `stable` is the append-only tier holding surfels that aged out of
+    the window — untouched per frame (exactly like the reference, whose clean
+    pass declares inactive surfels immune) and only read by INACTIVE renders,
+    loop-closure deformations and exports."""
+
+    store: SurfelStore          # ACTIVE tier, leaves (M, A, ...)
+    stable: SurfelStore         # STABLE tier, leaves (M, S, ...), append-only
     pose: jnp.ndarray           # (M, 4, 4) model pose (camera-to-model-origin)
     prev_pose: jnp.ndarray      # (M, 4, 4) pose at previous frame (velocity weight)
     conf_threshold: jnp.ndarray  # (M,)
@@ -178,16 +191,21 @@ class CoFusion:
             depth, filtered, rgb, cam, 1.0, fp.depth_cutoff
         )
         # model 0 = static background/global model (CoFusion.cpp:70-71)
-        store0 = fu.initialise(frame_surfels, jnp.eye(4), cfg.max_surfels, time=1)
-        empty = sm.empty_store(cfg.max_surfels)
+        store0 = fu.initialise(frame_surfels, jnp.eye(4), cfg.active_capacity, time=1)
+        empty = sm.empty_store(cfg.active_capacity)
         stores = jax.tree.map(
             lambda a, b: jnp.broadcast_to(b[None], (M,) + b.shape).at[0].set(a),
             store0,
             empty,
         )
+        empty_stable = sm.empty_store(cfg.max_surfels)
+        stables = jax.tree.map(
+            lambda b: jnp.broadcast_to(b[None], (M,) + b.shape), empty_stable
+        )
         eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (M, 4, 4))
         models = ModelState(
             store=stores,
+            stable=stables,
             pose=eye,
             prev_pose=eye,
             conf_threshold=jnp.full((M,), fp.confidence_global).at[1:].set(
@@ -382,7 +400,8 @@ class CoFusion:
             st = {
                 "tick": int(self.state.tick),
                 "poses": np.asarray(self.state.models.pose),
-                "surfel_counts": np.asarray(self.state.models.store.count),
+                "surfel_counts": np.asarray(self.state.models.store.count)
+                + np.asarray(self.state.models.stable.count),
                 "active": np.asarray(self.state.models.active),
             }
             if out is not None:
@@ -421,12 +440,20 @@ class CoFusion:
         (viewport RGB) and -en (normals) exports (GUI/MainController.cpp:394-407
         renders the scene; headless equivalent is the model's predicted view)."""
         if self._render_fn is None:
-            def _render(store, pose, tick, fp):
+            def _render(store, stable, pose, tick, fp):
                 one = jax.tree.map(lambda a: a[0], store)
                 sp = rz.splat_predict(
                     one, pose[0], self.cam, self.cfg, tick,
                     fp["time_delta"], fp["depth_cutoff"], fp["conf"],
                 )
+                # include the stable tier (no time window: everything the map
+                # remembers is part of the viewport render)
+                one_s = jax.tree.map(lambda a: a[0], stable)
+                sp_s = rz.splat_predict(
+                    one_s, pose[0], self.cam, self.cfg, tick,
+                    jnp.int32(1 << 30), fp["depth_cutoff"], fp["conf"],
+                )
+                sp = rz.splat_merge(sp, sp_s)
                 return sp.image, sp.normal_rad[..., :3], sp.valid
 
             self._render_fn = jax.jit(_render)
@@ -436,7 +463,8 @@ class CoFusion:
             conf=self.state.models.conf_threshold[0],
         )
         img, nrm, ok = self._render_fn(
-            self.state.models.store, self.state.models.pose, self.state.tick, fp
+            self.state.models.store, self.state.models.stable,
+            self.state.models.pose, self.state.tick, fp,
         )
         return {
             "image": np.asarray(img),
@@ -470,11 +498,18 @@ class CoFusion:
         return np.asarray(self.state.models.pose[0])
 
     def surfel_count(self, model: int = 0) -> int:
-        return int(self.state.models.store.count[model])
+        return int(self.state.models.store.count[model]) + int(
+            self.state.models.stable.count[model]
+        )
 
     def download_model(self, model: int = 0) -> dict:
-        one = jax.tree.map(lambda a: a[model], self.state.models.store)
-        return sm.download(one)
+        """Whole two-tier map of one model (Model::downloadMap): stable (old)
+        surfels first, then the active tier."""
+        act = jax.tree.map(lambda a: a[model], self.state.models.store)
+        stb = jax.tree.map(lambda a: a[model], self.state.models.stable)
+        d_act = sm.download(act)
+        d_stb = sm.download_masked(stb)
+        return {k: np.concatenate([d_stb[k], d_act[k]], axis=0) for k in d_act}
 
 
 # ---------------------------------------------------------------------------
@@ -525,13 +560,11 @@ def _step(
         )
 
     # --- per-model prediction (tracking targets) --------------------------
-    def predict_one(store, pose, conf_threshold):
-        return rz.splat_predict(
-            store, pose, cam, cfg, state.tick, fparams["time_delta"],
-            fparams["depth_cutoff"], conf_threshold,
-        )
-
-    splat = jax.vmap(predict_one)(models.store, models.pose, models.conf_threshold)
+    # batched flat-index render: one z-buffer scatter for ALL models
+    splat = rz.splat_predict_b(
+        models.store, models.pose, cam, cfg, state.tick, fparams["time_delta"],
+        jnp.full((M,), fparams["depth_cutoff"]), models.conf_threshold,
+    )
 
     # --- FillIn (global model only, CoFusion.cpp:541): composite the previous
     # frame's raw data into prediction holes so tracking degrades to
@@ -780,6 +813,7 @@ def _step(
     # --- local loop closure + deformation (global model; CoFusion.cpp:387-459,
     # gated off by default like the reference's assert(0)-dead path) ---------
     stores_in = models.store
+    stables_in = models.stable
     loop_accepted = jnp.bool_(False)
     loop_deformed = jnp.bool_(False)
     if close_loops:
@@ -787,6 +821,7 @@ def _step(
         from cofusion_tpu.ops import local_loop as ll
 
         store0 = jax.tree.map(lambda a: a[0], models.store)
+        stable0 = jax.tree.map(lambda a: a[0], models.stable)
         pose0 = new_pose[0]
         conf0 = models.conf_threshold[0]
         # ACTIVE prediction at the POST-tracking pose (the reference refreshes
@@ -795,11 +830,23 @@ def _step(
             store0, pose0, cam, cfg, state.tick, fparams["time_delta"],
             fparams["depth_cutoff"], conf0,
         )
+        # INACTIVE render: the union of both tiers' out-of-window surfels (old
+        # surfels live in `stable`; active-tier surfels past the window exist
+        # only between expel cadences), z-merged into one predicted view
+        old_a = rz.splat_predict(
+            store0, pose0, cam, cfg, state.tick, fparams["time_delta"],
+            fparams["depth_cutoff"], conf0, active_window=False,
+        )
+        old_s = rz.splat_predict(
+            stable0, pose0, cam, cfg, state.tick, fparams["time_delta"],
+            fparams["depth_cutoff"], conf0, active_window=False,
+        )
+        old = rz.splat_merge(old_a, old_s)
         # gates are tuned for 640x480: inlier counts scale with pixel count and
         # the covariance diagonal scales with its inverse (cov ~ 1/N)
         npx_scale = (cam.width * cam.height) / (640.0 * 480.0)
         res_ll = ll.local_loop(
-            store0, pose0, act, cam, cfg, tparams, state.tick,
+            old, pose0, act, cam, cfg, tparams, state.tick,
             fparams["time_delta"], fparams["depth_cutoff"], conf0,
             fparams["loop_cov_thresh"] / npx_scale, fparams["loop_err_thresh"],
             fparams["loop_count_thresh"] * npx_scale,
@@ -825,8 +872,12 @@ def _step(
         loop_accepted = is_fern | local_accept
 
         def do_deform(operand):
-            store, est_pose = operand
-            graph = df.sample_graph(store, cfg.deform_nodes)
+            store, stable, est_pose = operand
+            # graph nodes must span the WHOLE map's time range (the reference
+            # samples time-sequentially over all surfels, Deformation.cpp:207):
+            # stable tier first (old times), then the active tier
+            union = sm.concat_stores(stable, store)
+            graph = df.sample_graph(union, cfg.deform_nodes)
             src_times = jnp.full((C,), tickf)
             graph_opt, err = df.optimize(graph, cons_src, src_times, cons_tgt, cons_ok)
             mce = df.mean_constraint_error(graph_opt, cons_src, src_times, cons_tgt, cons_ok)
@@ -834,23 +885,41 @@ def _step(
             # (Deformation.cpp:134); local matches apply unconditionally like
             # the reference's !fernMatch branch
             ok = jnp.isfinite(err) & (~is_fern | (mce < 3e-4))
-            warped = df.apply_to_surfels(graph_opt, store)
-            warped = df.refresh_timestamps(
-                warped, est_pose, cam, tick, fparams["depth_cutoff"], conf0
+            warped_a = df.apply_to_surfels(graph_opt, store)
+            warped_s = df.apply_to_surfels(graph_opt, stable)
+            # synthesizeDepth bookkeeping: refresh last-update stamps of surfels
+            # agreeing with the deformed model's depth at the corrected pose
+            warped_a = df.refresh_timestamps(
+                warped_a, est_pose, cam, tick, fparams["depth_cutoff"], conf0
             )
-            out = jax.tree.map(
-                lambda new, old: jnp.where(ok, new, old), warped, store
+            warped_s = df.refresh_timestamps(
+                warped_s, est_pose, cam, tick, fparams["depth_cutoff"], conf0
             )
-            return out, ok
+            # RESURRECTION: stable surfels whose stamps were refreshed are back
+            # inside the active window — migrate them to the active tier so
+            # tracking and fusion see the revisited geometry again (bounded to
+            # one expel block; active-tier overflow drops)
+            fresh = warped_s.valid & (warped_s.last_time >= tickf)
+            stable_new, blk = sm.expel_split(
+                warped_s, warped_s.valid, fresh, cfg.expel_block
+            )
+            active_new = sm.append(warped_a, blk, blk.valid)
+            out_a = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), active_new, store
+            )
+            out_s = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), stable_new, stable
+            )
+            return out_a, out_s, ok
 
         def no_deform(operand):
-            store, _ = operand
-            return store, jnp.bool_(False)
+            store, stable, _ = operand
+            return store, stable, jnp.bool_(False)
 
         # lax.cond: the deformation solve (dense GN over 12*deform_nodes vars +
-        # full-map warp) only executes on accepted loop closures
-        store0_new, loop_deformed = jax.lax.cond(
-            loop_accepted, do_deform, no_deform, (store0, est_loop)
+        # full-map warp + tier exchange) only executes on accepted loop closures
+        store0_new, stable0_new, loop_deformed = jax.lax.cond(
+            loop_accepted, do_deform, no_deform, (store0, stable0, est_loop)
         )
         apply_loop = loop_accepted & loop_deformed
         new_pose = new_pose.at[0].set(
@@ -862,13 +931,19 @@ def _step(
             ),
             models.store, store0_new,
         )
+        stables_in = jax.tree.map(
+            lambda all_m, one: all_m.at[0].set(
+                jnp.where(apply_loop, one, all_m[0])
+            ),
+            models.stable, stable0_new,
+        )
 
     # --- fuse + clean -----------------------------------------------------
     weight = jax.vmap(_fusion_weight)(new_pose, models.pose, wmult)
-    new_stores = _fuse_clean_all(
-        stores_in, new_pose, weight, models.model_id, models.conf_threshold,
-        active_fuse, model_max_depth, depth, filtered, rgb, mask, multi,
-        cam, cfg, tick, fparams,
+    new_stores, new_stables = _fuse_clean_all(
+        stores_in, stables_in, new_pose, weight, models.model_id,
+        models.conf_threshold, active_fuse, model_max_depth, depth, filtered,
+        rgb, mask, multi, cam, cfg, tick, fparams,
     )
 
     so3_ref = intensity
@@ -877,6 +952,7 @@ def _step(
 
     new_models = ModelState(
         store=new_stores,
+        stable=new_stables,
         pose=new_pose,
         prev_pose=models.pose,
         conf_threshold=new_conf_threshold,
@@ -905,7 +981,7 @@ def _step(
         icp_error=res.icp_error,
         icp_count=res.icp_count,
         rgb_error=res.rgb_error,
-        surfel_counts=new_stores.count,
+        surfel_counts=new_stores.count + new_stables.count,
         active=new_active,
         spawned=has_new,
         loop_closed=loop_accepted & loop_deformed,
@@ -914,11 +990,22 @@ def _step(
 
 
 def _fuse_clean_all(
-    stores, new_pose, weight, model_ids, conf_thresholds, active_fuse,
+    stores, stables, new_pose, weight, model_ids, conf_thresholds, active_fuse,
     model_max_depth, depth, filtered, rgb, mask, multi, cam, cfg, tick, fparams,
 ):
-    """Vmapped per-model fuse + clean (CoFusion.cpp:463-489: predictIndices ->
-    fuse -> predictIndices -> clean for every model)."""
+    """Per-model fuse + clean (CoFusion.cpp:463-489: predictIndices -> fuse ->
+    predictIndices -> clean for every model), plus the two-tier maintenance
+    step: survivors that aged out of the active time window are expelled into
+    the append-only stable tier.  Returns (new_active_stores,
+    new_stable_stores).
+
+    The model axis is UNROLLED in Python (it is static and small): each
+    per-model op then contains only plain 1D scatters/gathers on one model's
+    (A,) arrays — the TPU fast path.  A vmap here lowers the scatters to XLA's
+    batched forms, measured ~2 orders of magnitude slower."""
+    M = int(new_pose.shape[0])
+    tickf = tick.astype(jnp.float32)
+    td_f = fparams["time_delta"].astype(jnp.float32)
 
     def fuse_clean_one(store, pose, w, model_id, conf_threshold, active, max_d):
         fs = fu.make_frame_surfels(depth, filtered, rgb, cam, w, max_d)
@@ -930,17 +1017,67 @@ def _fuse_clean_all(
         imap2 = rz.predict_indices(
             fused, pose, cam, tick, fparams["time_delta"], max_d
         )
-        cleaned = fu.clean(
+        cleaned, keep = fu.clean_eval(
             fused, imap2, filtered, mask if multi else None, model_id, pose, cam, cfg,
             tick, fparams["time_delta"], conf_threshold, fparams["outlier_coeff"],
         )
+        # age-out migration: surfels past the time window (the clean pass keeps
+        # them — copy_unstable.vert:136 immunity — but per-frame passes never
+        # need them again) move to the stable tier
+        aged = (cleaned.last_time > 0) & ((tickf - cleaned.last_time) > td_f)
+        new_store, blk = sm.expel_split(cleaned, keep, aged, cfg.expel_block)
         # inactive models pass through untouched (scalar `active` broadcasts)
-        return jax.tree.map(lambda new, old: jnp.where(active, new, old), cleaned, store)
+        out = jax.tree.map(lambda new, old: jnp.where(active, new, old), new_store, store)
+        blk = blk._replace(
+            count=jnp.where(active, blk.count, 0),
+            valid=blk.valid & active,
+        )
+        return out, blk
 
-    return jax.vmap(fuse_clean_one)(
-        stores, new_pose, weight, model_ids, conf_thresholds, active_fuse,
-        model_max_depth,
-    )
+    outs, blks = [], []
+    for m in range(M):
+        one = lambda a: a[m]
+        out_m, blk_m = fuse_clean_one(
+            jax.tree.map(one, stores), new_pose[m], weight[m], model_ids[m],
+            conf_thresholds[m], active_fuse[m], model_max_depth[m],
+        )
+        outs.append(out_m)
+        blks.append(blk_m)
+    new_stores = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    blks_b = jax.tree.map(lambda *xs: jnp.stack(xs), *blks)
+    return new_stores, _append_expel_blocks(stables, blks_b, cfg)
+
+
+def _append_expel_blocks(stables, blks, cfg):
+    """Append each model's expel block into its stable tier with contiguous
+    dynamic-slice writes (unrolled over the static model axis: a vmapped
+    dynamic_update_slice would lower to a scatter over the whole (M, S, ...)
+    array — exactly the beyond-VMEM random-access path the two-tier design
+    exists to avoid)."""
+    M = int(stables.count.shape[0])
+    S = int(stables.capacity)
+    B = int(cfg.expel_block)
+    data_fields = sm.DATA_FIELDS
+    leaves = {f: getattr(stables, f) for f in data_fields}
+    counts = []
+    for m in range(M):
+        n_ex = blks.count[m]
+        off = jnp.clip(stables.count[m], 0, S - B)
+        write = n_ex > 0
+        for f in data_fields:
+            leaf = leaves[f]
+            blk_rows = getattr(blks, f)[m][None]  # (1, B, ...)
+            start = (m, off) + (0,) * (leaf.ndim - 2)
+            # branchless guard: when nothing is expelled, write the existing
+            # window back (reads B rows; keeps the update a contiguous
+            # in-place dynamic-slice either way)
+            cur = jax.lax.dynamic_slice(leaf, start, (1, B) + leaf.shape[2:])
+            rows = jnp.where(
+                jnp.reshape(write, (1,) * leaf.ndim), blk_rows, cur
+            )
+            leaves[f] = jax.lax.dynamic_update_slice(leaf, rows, start)
+        counts.append(jnp.where(write, jnp.minimum(off + n_ex, S), stables.count[m]))
+    return SurfelStore(count=jnp.stack(counts), **leaves)
 
 
 def _step_gt_pose(
@@ -959,16 +1096,17 @@ def _step_gt_pose(
     wmult = jnp.full((M,), fparams["weight_multiplier"])
     weight = jax.vmap(_fusion_weight)(new_pose, models.pose, wmult)
     model_max_depth = jnp.full((M,), fparams["depth_cutoff"])
-    new_stores = _fuse_clean_all(
-        models.store, new_pose, weight, models.model_id, models.conf_threshold,
-        models.active, model_max_depth, depth, filtered, rgb, mask, multi,
-        cam, cfg, tick, fparams,
+    new_stores, new_stables = _fuse_clean_all(
+        models.store, models.stable, new_pose, weight, models.model_id,
+        models.conf_threshold, models.active, model_max_depth, depth, filtered,
+        rgb, mask, multi, cam, cfg, tick, fparams,
     )
     so3_ref = intensity
     for _ in range(cfg.pyramid_levels - 1):
         so3_ref = pp.pyr_down_gauss(so3_ref)
     new_models = models._replace(
         store=new_stores,
+        stable=new_stables,
         pose=new_pose,
         prev_pose=models.pose,
         max_depth=model_max_depth,
@@ -994,7 +1132,7 @@ def _step_gt_pose(
         icp_error=zm,
         icp_count=zm,
         rgb_error=zm,
-        surfel_counts=new_stores.count,
+        surfel_counts=new_stores.count + new_stables.count,
         active=models.active,
         spawned=jnp.bool_(False),
         loop_closed=jnp.bool_(False),

@@ -5,13 +5,21 @@ The reference packs each surfel as 3 x vec4 = 48 B in OpenGL VBOs
 lastUpdate/state), (nx,ny,nz,radius), with capacity 3072^2 per model
 (Core/Model/Model.cpp:92-98) and ping-pong buffer swaps after fuse/clean.
 
-TPU-native layout: a struct-of-arrays NamedTuple pytree.  Planar (N,) / (N, 3)
-float32 arrays keep the lane dimension dense for the VPU, make the update pass a
-batched scatter, and make the whole store shardable along N with jax.sharding.
-There is no ping-pong: XLA's functional updates + donation give the same effect.
+TPU-native layout: a FULLY SCALAR struct-of-arrays NamedTuple — every
+attribute component is its own (N,) float32 array.  This is load-bearing, not
+cosmetic: slicing or stacking a small minor axis (an (N, 3) position array) on
+TPU relayouts the whole array across lanes, and for arrays larger than VMEM
+that relayout costs ~60x memory bandwidth.  Measured on a v5e at N = 4M: a
+3x3-rotate over an (N, 3) array runs in 8.9 ms, the identical math over three
+(N,) arrays in 0.05 ms.  Every hot op (render, fuse, clean, compact) therefore
+works coordinate-wise; `pos`/`normal`/`color` stacked views exist for cold
+paths (export, deformation at loop-closure cadence, tests).
 
-Invalid slots are `valid == False` (not NaN); `count` tracks the allocated prefix
-(the store is always kept compacted: valid slots form a prefix after `clean`).
+There is no ping-pong: XLA's functional updates + donation give the same
+effect.  Invalid slots are `valid == False` (not NaN); `count` tracks the
+allocated prefix (the store is kept compacted: valid slots form a prefix after
+`clean`; the stable tier's explicit mask is authoritative instead, see
+`append_block`).
 """
 
 from __future__ import annotations
@@ -21,13 +29,25 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+_POS = ("px", "py", "pz")
+_NRM = ("nx", "ny", "nz")
+_COL = ("cr", "cg", "cb")
+# every per-surfel (N,) leaf, in declaration order
+DATA_FIELDS = _POS + _NRM + _COL + ("radius", "conf", "init_time", "last_time", "valid")
+
 
 class SurfelStore(NamedTuple):
-    """One model's surfel map (vmap over a leading axis for the model batch)."""
+    """One model's surfel map (leading (M,) axis when batched over models)."""
 
-    pos: jnp.ndarray        # (N, 3) world-frame position
-    normal: jnp.ndarray     # (N, 3) world-frame unit normal
-    color: jnp.ndarray      # (N, 3) rgb in [0, 255] (reference encodes into one float)
+    px: jnp.ndarray         # (N,) world-frame position components
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    nx: jnp.ndarray         # (N,) world-frame unit normal components
+    ny: jnp.ndarray
+    nz: jnp.ndarray
+    cr: jnp.ndarray         # (N,) rgb in [0, 255]
+    cg: jnp.ndarray
+    cb: jnp.ndarray
     radius: jnp.ndarray     # (N,)
     conf: jnp.ndarray       # (N,) accumulated confidence
     init_time: jnp.ndarray  # (N,) tick when created        (vColor.z)
@@ -37,50 +57,73 @@ class SurfelStore(NamedTuple):
 
     @property
     def capacity(self) -> int:
-        return self.pos.shape[-2]
+        return self.px.shape[-1]
+
+    # ---- stacked views (cold paths only: export, deformation, tests) ----
+    @property
+    def pos(self) -> jnp.ndarray:
+        return jnp.stack([self.px, self.py, self.pz], axis=-1)
+
+    @property
+    def normal(self) -> jnp.ndarray:
+        return jnp.stack([self.nx, self.ny, self.nz], axis=-1)
+
+    @property
+    def color(self) -> jnp.ndarray:
+        return jnp.stack([self.cr, self.cg, self.cb], axis=-1)
+
+
+def pack_store(pos, normal, color, radius, conf, init_time, last_time, valid, count) -> SurfelStore:
+    """Build a store from stacked (N, 3) attribute arrays (cold-path helper)."""
+    return SurfelStore(
+        px=pos[..., 0], py=pos[..., 1], pz=pos[..., 2],
+        nx=normal[..., 0], ny=normal[..., 1], nz=normal[..., 2],
+        cr=color[..., 0], cg=color[..., 1], cb=color[..., 2],
+        radius=radius, conf=conf, init_time=init_time, last_time=last_time,
+        valid=valid, count=count,
+    )
+
+
+def with_pos(store: SurfelStore, pos) -> SurfelStore:
+    return store._replace(px=pos[..., 0], py=pos[..., 1], pz=pos[..., 2])
+
+
+def with_normal(store: SurfelStore, normal) -> SurfelStore:
+    return store._replace(nx=normal[..., 0], ny=normal[..., 1], nz=normal[..., 2])
 
 
 def empty_store(capacity: int) -> SurfelStore:
+    z = jnp.zeros((capacity,), jnp.float32)
     return SurfelStore(
-        pos=jnp.zeros((capacity, 3), jnp.float32),
-        normal=jnp.zeros((capacity, 3), jnp.float32),
-        color=jnp.zeros((capacity, 3), jnp.float32),
-        radius=jnp.zeros((capacity,), jnp.float32),
-        conf=jnp.zeros((capacity,), jnp.float32),
-        init_time=jnp.zeros((capacity,), jnp.float32),
-        last_time=jnp.zeros((capacity,), jnp.float32),
+        px=z, py=z, pz=z, nx=z, ny=z, nz=z, cr=z, cg=z, cb=z,
+        radius=z, conf=z, init_time=z, last_time=z,
         valid=jnp.zeros((capacity,), bool),
         count=jnp.int32(0),
     )
+
+
+def _map_data(store: SurfelStore, fn) -> dict:
+    return {f: fn(getattr(store, f)) for f in DATA_FIELDS}
 
 
 def compact(store: SurfelStore, keep: jnp.ndarray) -> SurfelStore:
     """Stream compaction: keep the surfels where `keep & valid`, packed to the
     front, order-preserving.  The TPU equivalent of the reference's transform-
     feedback geometry-shader discard + GL_PRIMITIVES_GENERATED query
-    (Core/Model/Model.cpp:626-676).
-    """
+    (Core/Model/Model.cpp:626-676).  One cumsum + 14 scalar scatters, all at
+    memory bandwidth (planar layout)."""
     keep = keep & store.valid
     n = store.capacity
-    dest = jnp.cumsum(keep.astype(jnp.int32)) - 1  # target slot per kept surfel
+    dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
     new_count = jnp.sum(keep.astype(jnp.int32))
     dest = jnp.where(keep, dest, n)  # dropped -> scatter-dropped
 
     def scatter(arr):
-        out = jnp.zeros_like(arr)
-        return out.at[dest].set(arr, mode="drop")
+        return jnp.zeros_like(arr).at[dest].set(arr, mode="drop")
 
-    return SurfelStore(
-        pos=scatter(store.pos),
-        normal=scatter(store.normal),
-        color=scatter(store.color),
-        radius=scatter(store.radius),
-        conf=scatter(store.conf),
-        init_time=scatter(store.init_time),
-        last_time=scatter(store.last_time),
-        valid=jnp.arange(n) < new_count,
-        count=new_count,
-    )
+    out = _map_data(store, scatter)
+    out["valid"] = jnp.arange(n) < new_count
+    return SurfelStore(count=new_count, **out)
 
 
 def append(store: SurfelStore, new: SurfelStore, new_mask: jnp.ndarray) -> SurfelStore:
@@ -93,20 +136,80 @@ def append(store: SurfelStore, new: SurfelStore, new_mask: jnp.ndarray) -> Surfe
     appended = jnp.sum(new_mask.astype(jnp.int32))
     new_count = jnp.minimum(store.count + appended, n)
 
-    def scatter(dst, src):
-        return dst.at[dest].set(src, mode="drop")
+    out = {
+        f: getattr(store, f).at[dest].set(getattr(new, f), mode="drop")
+        for f in DATA_FIELDS
+    }
+    out["valid"] = jnp.arange(n) < new_count
+    return SurfelStore(count=new_count, **out)
 
-    return SurfelStore(
-        pos=scatter(store.pos, new.pos),
-        normal=scatter(store.normal, new.normal),
-        color=scatter(store.color, new.color),
-        radius=scatter(store.radius, new.radius),
-        conf=scatter(store.conf, new.conf),
-        init_time=scatter(store.init_time, new.init_time),
-        last_time=scatter(store.last_time, new.last_time),
-        valid=jnp.arange(n) < new_count,
-        count=new_count,
-    )
+
+def concat_stores(a: SurfelStore, b: SurfelStore) -> SurfelStore:
+    """Concatenate two stores (capacity a+b) and re-pack the valid prefix —
+    used by loop-closure deformation to sample graph nodes over the whole
+    two-tier map in (approximate) time order: pass the stable tier as `a`."""
+    out = {
+        f: jnp.concatenate([getattr(a, f), getattr(b, f)], axis=0)
+        for f in DATA_FIELDS
+    }
+    cat = SurfelStore(count=jnp.int32(0), **out)
+    return compact(cat, cat.valid)
+
+
+def expel_split(
+    store: SurfelStore, keep: jnp.ndarray, expel: jnp.ndarray, block: int
+) -> tuple[SurfelStore, SurfelStore]:
+    """Two-tier maintenance step: partition the kept surfels into the ones that
+    STAY in the active tier and an expel block bound for the stable tier.
+
+    `keep`: survivors of the clean pass; `expel`: surfels that aged out of the
+    active time window (the reference's timeDelta gate, copy_unstable.vert:136 —
+    inactive surfels are immune to cleaning and only ever touched again by loop
+    closures, so they can live in an append-only tier that per-frame passes
+    never scan).  At most `block` surfels are expelled per frame; the overflow
+    stays active one extra frame and re-queues.
+
+    Returns (new_active_store, expel_block_store) where the block store has
+    capacity `block` and its valid prefix holds the expelled surfels.
+    """
+    keep = keep & store.valid
+    expel = expel & keep
+    rank = jnp.cumsum(expel.astype(jnp.int32)) - 1
+    taken = expel & (rank < block)
+    stay = keep & ~taken
+
+    dest = jnp.where(taken, rank, block)
+    n_ex = jnp.minimum(jnp.sum(expel.astype(jnp.int32)), block)
+
+    out = {
+        f: jnp.zeros((block,) + getattr(store, f).shape[1:], getattr(store, f).dtype)
+        .at[dest].set(getattr(store, f), mode="drop")
+        for f in DATA_FIELDS
+    }
+    out["valid"] = jnp.arange(block) < n_ex
+    blk = SurfelStore(count=n_ex, **out)
+    return compact(store, stay), blk
+
+
+def append_block(stable: SurfelStore, blk: SurfelStore) -> SurfelStore:
+    """Append an expel block to the stable tier with ONE contiguous
+    dynamic-slice write per attribute (no scatter; a contiguous DMA).  When the
+    tier is full the write window clamps to the tail and the oldest tail rows
+    are overwritten (bounded loss, like the reference overrunning its
+    preallocated VBO, Model.cpp:92-98).  The stable tier's `valid` mask is
+    authoritative; `count` is the append cursor."""
+    S = stable.capacity
+    B = blk.capacity
+    off = jnp.clip(stable.count, 0, S - B)
+    new_count = jnp.minimum(off + blk.count, S)
+
+    out = {
+        f: jax.lax.dynamic_update_slice_in_dim(
+            getattr(stable, f), getattr(blk, f), off, axis=0
+        )
+        for f in DATA_FIELDS
+    }
+    return SurfelStore(count=new_count, **out)
 
 
 def download(store: SurfelStore) -> dict:
@@ -115,12 +218,38 @@ def download(store: SurfelStore) -> dict:
     import numpy as np
 
     n = int(store.count)
+
+    def take(f):
+        return np.asarray(getattr(store, f)[:n])
+
     return {
-        "pos": np.asarray(store.pos[:n]),
-        "normal": np.asarray(store.normal[:n]),
-        "color": np.asarray(store.color[:n]),
-        "radius": np.asarray(store.radius[:n]),
-        "conf": np.asarray(store.conf[:n]),
-        "init_time": np.asarray(store.init_time[:n]),
-        "last_time": np.asarray(store.last_time[:n]),
+        "pos": np.stack([take("px"), take("py"), take("pz")], axis=-1),
+        "normal": np.stack([take("nx"), take("ny"), take("nz")], axis=-1),
+        "color": np.stack([take("cr"), take("cg"), take("cb")], axis=-1),
+        "radius": take("radius"),
+        "conf": take("conf"),
+        "init_time": take("init_time"),
+        "last_time": take("last_time"),
+    }
+
+
+def download_masked(store: SurfelStore) -> dict:
+    """Host-side export filtered by the explicit valid mask — for the stable
+    tier, whose valid mask (not the prefix) is authoritative (rows beyond the
+    append cursor can stay valid across an overflow clamp)."""
+    import numpy as np
+
+    m = np.asarray(store.valid)
+
+    def take(f):
+        return np.asarray(getattr(store, f))[m]
+
+    return {
+        "pos": np.stack([take("px"), take("py"), take("pz")], axis=-1),
+        "normal": np.stack([take("nx"), take("ny"), take("nz")], axis=-1),
+        "color": np.stack([take("cr"), take("cg"), take("cb")], axis=-1),
+        "radius": take("radius"),
+        "conf": take("conf"),
+        "init_time": take("init_time"),
+        "last_time": take("last_time"),
     }

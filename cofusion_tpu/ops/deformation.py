@@ -230,14 +230,16 @@ def mean_constraint_error(
 
 
 def apply_to_surfels(graph: DeformationGraph, store: SurfelStore) -> SurfelStore:
-    """Warp all surfels through the graph (copy_unstable.vert:155-335)."""
-    new_pos = warp_points(graph, store.pos, store.init_time)
-    new_norm = warp_normals(graph, store.normal, store.init_time, store.pos)
+    """Warp all surfels through the graph (copy_unstable.vert:155-335).
+    Loop-closure cadence only — the stacked (N, 3) views are acceptable here."""
+    from cofusion_tpu.models import surfel_model as sm
+
+    pos = store.pos
+    new_pos = warp_points(graph, pos, store.init_time)
+    new_norm = warp_normals(graph, store.normal, store.init_time, pos)
     keep = store.valid[:, None]
-    return store._replace(
-        pos=jnp.where(keep, new_pos, store.pos),
-        normal=jnp.where(keep, new_norm, store.normal),
-    )
+    out = sm.with_pos(store, jnp.where(keep, new_pos, pos))
+    return sm.with_normal(out, jnp.where(keep, new_norm, store.normal))
 
 
 def refresh_timestamps(

@@ -9,8 +9,7 @@ transform-feedback passes:
 
 Mapping to TPU primitives:
   * the data pass's per-pixel +/-2 px index-map search is a static window of
-    SHIFTED map reads (25 fused elementwise passes — no gather needed since the
-    window is centered on the pixel itself);
+    SHIFTED map reads (25 fused elementwise passes over VMEM-resident images);
   * "render 1 point into the update FBO at the target surfel's texel" becomes a
     scatter-add of (weight, weight*attr) into per-surfel accumulators — where the
     GL path drops colliding updates (last write wins), we accumulate ALL of them,
@@ -18,6 +17,12 @@ Mapping to TPU primitives:
   * "transform feedback + geometry-shader discard + primitive query" becomes
     masked cumsum compaction (models/surfel_model.py:compact);
   * new unstable surfels are appended with bounded-capacity scatter.
+
+Performance rules (measured, see models/surfel_model.py): every per-surfel
+quantity is a scalar (N,) array — no (N, 3) slicing/stacking; every
+scatter/gather is unbatched 1D (the engine unrolls the static model axis); the
+per-surfel window gathers in `clean_eval` read PRE-FLATTENED scalar image
+tables so each tap is a handful of bandwidth-speed scalar takes.
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ from cofusion_tpu.models import surfel_model as sm
 from cofusion_tpu.models.surfel_model import SurfelStore
 from cofusion_tpu.ops.lie import invert_rt
 from cofusion_tpu.ops.preprocess import _shifted
-from cofusion_tpu.ops.rasterize import IndexMap, _rotate
+from cofusion_tpu.ops.rasterize import IndexMap, _rotate, rotate_planar
 
 
 class FrameSurfels(NamedTuple):
@@ -191,83 +196,105 @@ def fuse(
     merge = cand & (best_idx >= 0)
     new = cand & (best_idx < 0)
 
-    # --- lift measurements to world frame (data.vert:84-100 applies `pose`)
+    # --- lift measurements to world frame (data.vert:84-100 applies `pose`).
+    # Image-scale stacked math (VMEM-resident) then flatten to scalar columns.
     R = pose[:3, :3]
     t = pose[:3, 3]
     wpos = _rotate(R, frame.pos) + t
     wnorm = _rotate(R, frame.normal)
+    w_cols = {
+        "px": wpos[..., 0].reshape(-1), "py": wpos[..., 1].reshape(-1),
+        "pz": wpos[..., 2].reshape(-1),
+        "nx": wnorm[..., 0].reshape(-1), "ny": wnorm[..., 1].reshape(-1),
+        "nz": wnorm[..., 2].reshape(-1),
+        "cr": frame.color[..., 0].reshape(-1), "cg": frame.color[..., 1].reshape(-1),
+        "cb": frame.color[..., 2].reshape(-1),
+        "radius": frame.radius.reshape(-1),
+    }
 
-    # --- update pass: scatter-accumulate into per-surfel accumulators
+    # --- update pass: scatter-accumulate into per-surfel scalar accumulators
     n = store.capacity
     tgt = jnp.where(merge, best_idx, n).reshape(-1)
     a = jnp.where(merge, frame.conf, 0.0).reshape(-1)
 
-    def acc(val, chan):
-        if chan == 1:
-            return jnp.zeros((n,), jnp.float32).at[tgt].add(a * val.reshape(-1), mode="drop")
-        flat = val.reshape(-1, chan) * a[:, None]
-        return jnp.zeros((n, chan), jnp.float32).at[tgt].add(flat, mode="drop")
+    def acc(col):
+        return jnp.zeros((n,), jnp.float32).at[tgt].add(a * col, mode="drop")
 
     sum_a = jnp.zeros((n,), jnp.float32).at[tgt].add(a, mode="drop")
-    sum_pos = acc(wpos, 3)
-    sum_col = acc(frame.color, 3)
-    sum_norm = acc(wnorm, 3)
-    sum_rad = acc(frame.radius, 1)
+    sums = {k: acc(v) for k, v in w_cols.items()}
 
     hit = sum_a > 0
     a_tot = jnp.maximum(sum_a, 1e-12)
-    new_pos = sum_pos / a_tot[:, None]
-    new_col = sum_col / a_tot[:, None]
-    new_norm = sum_norm / a_tot[:, None]
-    new_rad = sum_rad / a_tot
-
     c_k = store.conf
     denom = jnp.maximum(c_k + sum_a, 1e-12)
+    new_rad = sums["radius"] / a_tot
     # radius-growth gate (update.vert:70): only average geometry if the incoming
     # radius is not 1.5x larger than the stored one
     grow_ok = hit & (new_rad < 1.5 * store.radius)
 
-    def merge_attr(old, newv):
-        avg = (c_k[:, None] * old + sum_a[:, None] * newv) / denom[:, None]
-        return jnp.where(grow_ok[:, None], avg, old)
+    def merge_attr(old, key):
+        avg = (c_k * old + sums[key]) / denom  # sums[key] = sum_a * weighted-mean
+        return jnp.where(grow_ok, avg, old)
 
-    pos_u = merge_attr(store.pos, new_pos)
-    col_u = merge_attr(store.color, new_col)
-    norm_u = merge_attr(store.normal, new_norm)
-    norm_len = jnp.linalg.norm(norm_u, axis=-1, keepdims=True)
-    norm_u = jnp.where(norm_len > 1e-12, norm_u / jnp.maximum(norm_len, 1e-12), store.normal)
-    rad_avg = (c_k * store.radius + sum_a * new_rad) / denom
-    rad_u = jnp.where(grow_ok, rad_avg, store.radius)
+    px_u = merge_attr(store.px, "px")
+    py_u = merge_attr(store.py, "py")
+    pz_u = merge_attr(store.pz, "pz")
+    cr_u = merge_attr(store.cr, "cr")
+    cg_u = merge_attr(store.cg, "cg")
+    cb_u = merge_attr(store.cb, "cb")
+    nx_u = merge_attr(store.nx, "nx")
+    ny_u = merge_attr(store.ny, "ny")
+    nz_u = merge_attr(store.nz, "nz")
+    nlen = jnp.sqrt(nx_u * nx_u + ny_u * ny_u + nz_u * nz_u)
+    n_ok = nlen > 1e-12
+    nls = jnp.maximum(nlen, 1e-12)
+    nx_u = jnp.where(n_ok, nx_u / nls, store.nx)
+    ny_u = jnp.where(n_ok, ny_u / nls, store.ny)
+    nz_u = jnp.where(n_ok, nz_u / nls, store.nz)
+    rad_u = jnp.where(grow_ok, (c_k * store.radius + sums["radius"]) / denom, store.radius)
 
-    updated = SurfelStore(
-        pos=pos_u,
-        normal=norm_u,
-        color=col_u,
+    tf = jnp.asarray(time, jnp.float32)
+    updated = store._replace(
+        px=px_u, py=py_u, pz=pz_u,
+        nx=nx_u, ny=ny_u, nz=nz_u,
+        cr=cr_u, cg=cg_u, cb=cb_u,
         radius=rad_u,
         conf=jnp.where(hit, c_k + sum_a, c_k),
-        init_time=store.init_time,
-        last_time=jnp.where(hit, jnp.asarray(time, jnp.float32), store.last_time),
-        valid=store.valid,
-        count=store.count,
+        last_time=jnp.where(hit, tf, store.last_time),
     )
 
-    # --- new unstable surfels: flatten candidates, bounded append
-    tf = jnp.asarray(time, jnp.float32)
-    new_flat = SurfelStore(
-        pos=wpos.reshape(-1, 3),
-        normal=wnorm.reshape(-1, 3),
-        color=frame.color.reshape(-1, 3),
-        radius=frame.radius.reshape(-1),
-        conf=frame.conf.reshape(-1),
-        init_time=jnp.full((H * W,), tf),
-        last_time=jnp.full((H * W,), tf),
-        valid=new.reshape(-1),
-        count=jnp.int32(0),
+    # --- new unstable surfels: bounded append with scalar scatters
+    new_flat = new.reshape(-1)
+    rank = jnp.cumsum(new_flat.astype(jnp.int32)) - 1
+    dest = jnp.where(new_flat, store.count + rank, n)
+    appended = jnp.sum(new_flat.astype(jnp.int32))
+    new_count = jnp.minimum(store.count + appended, n)
+
+    def put(dst, col):
+        return dst.at[dest].set(col, mode="drop")
+
+    conf_col = frame.conf.reshape(-1)
+    t_col = jnp.full((H * W,), tf)
+    return SurfelStore(
+        px=put(updated.px, w_cols["px"]),
+        py=put(updated.py, w_cols["py"]),
+        pz=put(updated.pz, w_cols["pz"]),
+        nx=put(updated.nx, w_cols["nx"]),
+        ny=put(updated.ny, w_cols["ny"]),
+        nz=put(updated.nz, w_cols["nz"]),
+        cr=put(updated.cr, w_cols["cr"]),
+        cg=put(updated.cg, w_cols["cg"]),
+        cb=put(updated.cb, w_cols["cb"]),
+        radius=put(updated.radius, w_cols["radius"]),
+        conf=put(updated.conf, conf_col),
+        init_time=put(updated.init_time, t_col),
+        last_time=put(updated.last_time, t_col),
+        valid=jnp.arange(n) < new_count,
+        count=new_count,
     )
-    return sm.append(updated, new_flat, new.reshape(-1))
 
 
-def clean(
+def clean_eval(
     store: SurfelStore,
     imap: IndexMap,
     depth_input: jnp.ndarray,
@@ -281,24 +308,30 @@ def clean(
     conf_threshold,
     outlier_coeff,
     is_lost=False,
-) -> SurfelStore:
-    """Clean/copy pass (copy_unstable.vert:53-150): duplicate suppression,
-    unstable-timeout removal, free-space-violation confidence decay, mask-mismatch
-    penalty; then stream compaction.
+) -> tuple[SurfelStore, jnp.ndarray]:
+    """Clean/copy pass predicates (copy_unstable.vert:53-150): duplicate
+    suppression, unstable-timeout removal, free-space-violation confidence decay,
+    mask-mismatch penalty.  Returns (store with decayed confidences, keep mask);
+    `clean` composes this with stream compaction, the engine's two-tier path
+    composes it with `surfel_model.expel_split`.
 
     `imap` must be a FRESH index render at the post-tracking pose (the reference
     re-renders predictIndices between fuse and clean, CoFusion.cpp:474).
     `depth_input` is the current filtered depth; `mask` the frame's model-id mask.
+
+    The per-surfel 5x5/3x3 window lookups gather from PRE-FLATTENED scalar
+    image tables; the dup predicates' pixel channels are pre-combined so each
+    tap costs 5 scalar takes (z-if-dup-eligible, z-if-zdup-eligible, init-time,
+    x, y) instead of 7+ raw channels.
     """
     H, W = cam.height, cam.width
     n = store.capacity
     t_inv = invert_rt(pose)
-    local = _rotate(t_inv[:3, :3], store.pos) + t_inv[:3, 3]
-    local_n = _rotate(t_inv[:3, :3], store.normal)
-    zl = local[..., 2]
+    lx, ly, zl = rotate_planar(t_inv[:3, :3], store.px, store.py, store.pz, t_inv[:3, 3])
+    _, _, lnz = rotate_planar(t_inv[:3, :3], store.nx, store.ny, store.nz)
     zs = jnp.where(zl == 0, 1.0, zl)
-    xpix = local[..., 0] * cam.fx / zs + cam.cx
-    ypix = local[..., 1] * cam.fy / zs + cam.cy
+    xpix = lx * cam.fx / zs + cam.cx
+    ypix = ly * cam.fy / zs + cam.cy
     xi = jnp.floor(xpix).astype(jnp.int32)
     yi = jnp.floor(ypix).astype(jnp.int32)
     inb = (xpix > 0) & (ypix > 0) & (xpix < W) & (ypix < H) & (zl > 0)
@@ -307,10 +340,19 @@ def clean(
 
     lin = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
 
-    imap_has = imap.valid.reshape(-1)
-    imap_vc = imap.vert_conf.reshape(-1, 4)
-    imap_it = imap.color_time.reshape(-1, 4)[:, 3]
-    imap_lt = imap.last_time.reshape(-1)
+    # --- pre-combined flat pixel tables (image-scale, VMEM-resident) -------
+    imap_has = imap.valid
+    q_conf_ok = imap_has & (imap.vert_conf[..., 3] > conf_threshold)
+    zq = imap.vert_conf[..., 2]
+    # dup candidates: rendered, confident -> z; else -inf (kills every compare)
+    z_dup = jnp.where(q_conf_ok, zq, -jnp.inf).reshape(-1)
+    # z-dup additionally requires the rendered surfel updated THIS tick
+    z_zdup = jnp.where(
+        q_conf_ok & (imap.last_time == time), zq, -jnp.inf
+    ).reshape(-1)
+    it_q = jnp.where(imap_has, imap.color_time[..., 3], jnp.inf).reshape(-1)
+    xq = imap.vert_conf[..., 0].reshape(-1)
+    yq = imap.vert_conf[..., 1].reshape(-1)
     depth_flat = depth_input.reshape(-1)
 
     count = jnp.zeros((n,), jnp.int32)
@@ -320,38 +362,38 @@ def clean(
 
     def gat(flat_arr, off):
         idx = jnp.clip(lin + off, 0, H * W - 1)
-        return jnp.take(flat_arr, idx, axis=0)
+        return jnp.take(flat_arr, idx)
 
+    steep = jnp.abs(lnz) > 0.85
     for dy in range(-2, 3):
         for dx in range(-2, 3):
             off = dy * W + dx
             oob = (
                 (xi + dx < 0) | (xi + dx >= W) | (yi + dy < 0) | (yi + dy >= H)
             )
-            has = gat(imap_has, off) & ~oob & search_ok
-            vc = gat(imap_vc, off)
-            it = gat(imap_it, off)
-            lt = gat(imap_lt, off)
+            ok_tap = ~oob & search_ok
+            zd = gat(z_dup, off)
+            zz = gat(z_zdup, off)
+            it = gat(it_q, off)
+            qx = gat(xq, off)
+            qy = gat(yq, off)
             # duplicate: older, confident, behind, close, within radius
             dup = (
-                has
+                ok_tap
                 & (it < store.init_time)
-                & (vc[:, 3] > conf_threshold)
-                & (vc[:, 2] > zl)
-                & (vc[:, 2] - zl < 0.01)
+                & (zd > zl)
+                & (zd - zl < 0.01)
                 & (
-                    jnp.sqrt(jnp.sum((vc[:, :2] - local[..., :2]) ** 2, axis=-1))
+                    jnp.sqrt((qx - lx) ** 2 + (qy - ly) ** 2)
                     < store.radius * 1.4
                 )
             )
             count = count + dup.astype(jnp.int32)
             zdup = (
-                has
-                & (lt == time)
-                & (vc[:, 3] > conf_threshold)
-                & (vc[:, 2] > zl)
-                & (vc[:, 2] - zl > 0.01)
-                & (jnp.abs(local_n[..., 2]) > 0.85)
+                ok_tap
+                & (zz > zl)
+                & (zz - zl > 0.01)
+                & steep
             )
             z_count = z_count + zdup.astype(jnp.int32)
 
@@ -395,6 +437,30 @@ def clean(
         conf = jnp.where(mism, conf * (0.5 + 0.5 * (1.0 - outlier_coeff / 10.0)), conf)
 
     cleaned = store._replace(conf=conf)
+    return cleaned, keep
+
+
+def clean(
+    store: SurfelStore,
+    imap: IndexMap,
+    depth_input: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    mask_id,
+    pose: jnp.ndarray,
+    cam: CameraConfig,
+    cfg: CoFusionConfig,
+    time,
+    time_delta,
+    conf_threshold,
+    outlier_coeff,
+    is_lost=False,
+) -> SurfelStore:
+    """clean_eval + stream compaction (single-tier form, used by tests and the
+    reference-parity unit checks)."""
+    cleaned, keep = clean_eval(
+        store, imap, depth_input, mask, mask_id, pose, cam, cfg, time,
+        time_delta, conf_threshold, outlier_coeff, is_lost,
+    )
     return sm.compact(cleaned, keep)
 
 
@@ -408,7 +474,7 @@ def initialise(
     wpos = _rotate(R, frame.pos) + t
     wnorm = _rotate(R, frame.normal)
     tf = jnp.asarray(time, jnp.float32)
-    flat = SurfelStore(
+    flat = sm.pack_store(
         pos=wpos.reshape(-1, 3),
         normal=wnorm.reshape(-1, 3),
         color=frame.color.reshape(-1, 3),

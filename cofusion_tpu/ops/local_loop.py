@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from cofusion_tpu.config import CameraConfig, CoFusionConfig, TrackingParams
-from cofusion_tpu.models.surfel_model import SurfelStore
 from cofusion_tpu.ops import odometry as od
 from cofusion_tpu.ops import preprocess as pp
 from cofusion_tpu.ops import rasterize as rz
@@ -50,7 +49,7 @@ class LocalLoopResult(NamedTuple):
 
 
 def local_loop(
-    store: SurfelStore,
+    old: rz.SplatMap,
     pose: jnp.ndarray,
     splat_active: rz.SplatMap,
     cam: CameraConfig,
@@ -66,13 +65,10 @@ def local_loop(
 ) -> LocalLoopResult:
     """One local-loop attempt for the global model.  `splat_active` must be the
     ACTIVE prediction rendered at the post-tracking `pose` (the reference calls
-    predict() right before this block, CoFusion.cpp:347)."""
-    # 1. INACTIVE render: surfels outside the active time window
-    old = rz.splat_predict(
-        store, pose, cam, cfg, time, time_delta, depth_cutoff, conf_threshold,
-        active_window=False,
-    )
-
+    predict() right before this block, CoFusion.cpp:347); `old` the INACTIVE
+    prediction (surfels outside the active time window — with the two-tier
+    store, the caller renders it from the stable tier and z-merges any
+    aged-but-not-yet-expelled active surfels)."""
     # 2. model-to-model odometry: frame side = ACTIVE prediction, model side =
     #    INACTIVE prediction (initICP splat variant + initICPModel old textures,
     #    CoFusion.cpp:394-400); so3 disabled (CoFusion.cpp:405 passes so3=false)

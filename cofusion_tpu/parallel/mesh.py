@@ -47,6 +47,7 @@ def shard_engine_state(state, mesh: Mesh):
     models = state.models
     models_sh = models._replace(
         store=jax.tree.map(store_leaf, models.store),
+        stable=jax.tree.map(store_leaf, models.stable),
         pose=rep, prev_pose=rep, conf_threshold=rep, max_depth=rep,
         active=rep, age=rep, model_id=rep, unseen=rep, spawn_cooldown=rep,
     )

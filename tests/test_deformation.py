@@ -17,7 +17,7 @@ def _line_store(n=64, capacity=128):
         np.float32
     )
     store = sm.empty_store(capacity)
-    flat = sm.SurfelStore(
+    flat = sm.pack_store(
         pos=jnp.asarray(pos),
         normal=jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1)),
         color=jnp.full((n, 3), 128.0),

@@ -79,7 +79,9 @@ def test_clean_decays_freespace_violators(small_cam):
     phantom_z = true_z - 0.5
     n = int(store.count)
     store = store._replace(
-        pos=store.pos.at[n - 1].set(jnp.array([0.0, 0.0, phantom_z])),
+        px=store.px.at[n - 1].set(0.0),
+        py=store.py.at[n - 1].set(0.0),
+        pz=store.pz.at[n - 1].set(phantom_z),
         conf=store.conf.at[n - 1].set(5.0),
     )
     imap = rz.predict_indices(store, eye, small_cam, 2, 200, 4.5)

@@ -37,6 +37,7 @@ def test_local_loop_op_detects_drift(loop_cam, loop_cfg):
     shifted by 3 cm.  The splat-vs-splat odometry must estimate a corrective
     pose ~= the shift."""
     from cofusion_tpu.config import TrackingParams
+    from cofusion_tpu.models import surfel_model as sm
     from cofusion_tpu.ops import fusion as fu
     from cofusion_tpu.ops import local_loop as ll
     from cofusion_tpu.ops import preprocess as pp
@@ -58,7 +59,9 @@ def test_local_loop_op_detects_drift(loop_cam, loop_cfg):
     )
     # recent map: same geometry shifted 3 cm in +x, fresh timestamps
     drift = jnp.asarray([0.03, 0.0, 0.0])
-    recent = store._replace(pos=store.pos + drift, last_time=jnp.where(store.valid, 100.0, 0.0))
+    recent = sm.with_pos(store, store.pos + drift)._replace(
+        last_time=jnp.where(store.valid, 100.0, 0.0)
+    )
     merged = jax.tree.map(
         lambda old, new: old if old.ndim == 0 else jnp.concatenate([old, new], axis=0),
         store, recent,
@@ -74,8 +77,12 @@ def test_local_loop_op_detects_drift(loop_cam, loop_cfg):
     assert float(act.valid.mean()) > 0.3  # the ACTIVE splat must render
 
     npx_scale = (loop_cam.width * loop_cam.height) / (640.0 * 480.0)
+    old = rz.splat_predict(
+        merged, pose, loop_cam, loop_cfg, tick, jnp.int32(50), jnp.float32(4.5),
+        jnp.float32(1.0), active_window=False,
+    )
     res = ll.local_loop(
-        merged, pose, act, loop_cam, loop_cfg, TrackingParams(), tick,
+        old, pose, act, loop_cam, loop_cfg, TrackingParams(), tick,
         jnp.int32(50), jnp.float32(4.5), jnp.float32(1.0),
         jnp.float32(1e-4), jnp.float32(5e-4), jnp.float32(40000.0 * npx_scale),
     )

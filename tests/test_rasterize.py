@@ -25,7 +25,7 @@ def _store_from_points(pos, normal=None, radius=0.05, conf=10.0, capacity=64, t=
         last_time=jnp.full((n,), t),
         valid=jnp.ones((n,), bool),
     )
-    new = sm.SurfelStore(
+    new = sm.pack_store(
         pos=jnp.zeros((capacity, 3)).at[:n].set(arrs["pos"]),
         normal=jnp.zeros((capacity, 3)).at[:n].set(arrs["normal"]),
         color=jnp.zeros((capacity, 3)).at[:n].set(arrs["color"]),
