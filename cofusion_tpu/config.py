@@ -81,7 +81,9 @@ class CoFusionConfig:
     # active tier <= ~1M keeps every randomly-gathered/scattered operand inside
     # VMEM (~16 MB/core), where XLA's TPU gather/scatter fast path lives —
     # measured: the same ops fall off a >50x cliff once operands spill to HBM.
-    # None -> min(2^20, max_surfels).
+    # Per-surfel pass costs scale linearly with this capacity (not with the
+    # live count), so keep it as tight as the time-window population allows.
+    # None -> min(2^19, max_surfels).
     active_surfels: int | None = None
     # Surfels migrated active->stable per frame (static expel-block size); the
     # overflow stays active one more frame and re-queues.
@@ -96,6 +98,12 @@ class CoFusionConfig:
     fast_odom: bool = False
     use_so3: bool = True
     use_pyramid: bool = True
+    # Correspondence decimation at pyramid level 0 (TPU-first divergence from
+    # the reference, which reduces every pixel): a 2x2-strided subset still
+    # gives ~77k correspondences for a 6-DoF solve at 640x480, and per-GN-iter
+    # cost scales with the subset size.  Levels 1+ and the coarse fern/reloc
+    # tracker are never strided (their counts feed absolute inlier gates).
+    gn_stride_l0: int = 2
 
     # --- rasterizer --------------------------------------------------------
     # Gather window half-size for splat prediction (pixels); bounds the splat
@@ -132,7 +140,7 @@ class CoFusionConfig:
         """Active-tier surfel capacity (see `active_surfels`)."""
         if self.active_surfels is not None:
             return min(self.active_surfels, self.max_surfels)
-        return min(1 << 20, self.max_surfels)
+        return min(1 << 19, self.max_surfels)
 
     @property
     def expel_block(self) -> int:

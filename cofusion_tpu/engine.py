@@ -208,10 +208,13 @@ class CoFusion:
             stable=stables,
             pose=eye,
             prev_pose=eye,
-            conf_threshold=jnp.full((M,), fp.confidence_global).at[1:].set(
-                fp.confidence_object
-            ),
-            max_depth=jnp.full((M,), fp.depth_cutoff),
+            # NOTE: strong dtypes everywhere — a weak-typed leaf (jnp.full from
+            # a Python float) makes the SECOND engine step retrace and
+            # recompile the whole graph (the step's outputs are strong-typed),
+            # which costs minutes per extra compile on this box
+            conf_threshold=jnp.full((M,), fp.confidence_global, jnp.float32)
+            .at[1:].set(fp.confidence_object),
+            max_depth=jnp.full((M,), fp.depth_cutoff, jnp.float32),
             active=jnp.zeros((M,), bool).at[0].set(True),
             age=jnp.zeros((M,), jnp.int32),
             model_id=jnp.arange(M, dtype=jnp.int32),
@@ -587,57 +590,72 @@ def _step(
     # --- build tracking pyramids -----------------------------------------
     multi = M > 1
 
-    def frame_pyr_one(model_id):
-        # masked tracking gates on the PREVIOUS frame's segmentation (the
-        # reference's MASK texture lag) — except with ground-truth masks, which
-        # exist before tracking and carry no such dependency
-        if multi:
-            m = jnp.where(fparams["gt_masks"], mask, state.prev_mask)
-        else:
-            m = None
-        return od.build_frame_pyramid(
-            filtered, intensity, m, model_id, cam, cfg, fparams["depth_cutoff"],
+    # ONE shared frame pyramid for all models; per-model masking is applied as
+    # cheap validity gates on top (od.with_model_mask) instead of rebuilding
+    # masked pyramids per model — the expensive downsample/sobel/normal chains
+    # are computed once.
+    frame_pyr = od.build_frame_pyramid(
+        filtered, intensity, None, 0, cam, cfg, fparams["depth_cutoff"],
+        tparams.max_depth_rgb,
+    )
+    if multi:
+        # RGB-term mask (the ICP side is unmasked, reference parity): GT masks
+        # exist before tracking; the CRF mask lags one frame (the reference's
+        # MASK texture still holds frame t-1's result when tracking frame t)
+        track_mask = jnp.where(fparams["gt_masks"], mask, state.prev_mask)
+        mask_pyrs = [track_mask]
+        for _ in range(cfg.pyramid_levels - 1):
+            mask_pyrs.append(pp.pyr_down_nearest(mask_pyrs[-1]))
+    else:
+        mask_pyrs = None
+
+    # --- track: UNROLLED over the static model axis, with the whole
+    # per-model pipeline (model pyramid build + GN solve + CRF error map)
+    # inside ONE lax.cond — inactive slots skip all of it at runtime ---------
+    def track_branch(op):
+        pose_m, model_id_m, vert, norm, valid, image = op
+        fp = (
+            od.with_model_mask(frame_pyr, mask_pyrs, model_id_m)
+            if multi else frame_pyr
+        )
+        mpyr = od.build_model_pyramid(
+            vert, norm, valid, pp.rgb_to_intensity(image), pose_m, cam, cfg,
             tparams.max_depth_rgb,
         )
-
-    if multi:
-        frame_pyrs = jax.vmap(frame_pyr_one)(models.model_id)
-    else:
-        one = frame_pyr_one(jnp.int32(0))
-        frame_pyrs = jax.tree.map(lambda a: a[None], one)
-
-    def model_pyr_one(vert, norm, valid, image, pose):
-        pred_int = pp.rgb_to_intensity(image)
-        return od.build_model_pyramid(
-            vert, norm, valid, pred_int, pose, cam, cfg, tparams.max_depth_rgb
+        r = od.get_incremental_transformation(
+            pose_m, fp, mpyr, state.so3_ref, cam, cfg, tparams
         )
-
-    model_pyrs = jax.vmap(model_pyr_one)(
-        pred_vert, pred_norm, pred_valid, pred_image, models.pose
-    )
-
-    # --- track ------------------------------------------------------------
-    def track_one(pose, fpyr, mpyr):
-        return od.get_incremental_transformation(
-            pose, fpyr, mpyr, state.so3_ref, cam, cfg, tparams
-        )
-
-    res = jax.vmap(track_one)(models.pose, frame_pyrs, model_pyrs)
-    new_pose = jnp.where(models.active[:, None, None], res.pose, models.pose)
-
-    # --- full-frame (ungated) per-model ICP error maps for segmentation ----
-    # only the CRF consumes these; skip the extra per-model ICP pass (plus the
-    # full-res vmap/nmap) in GT-mask and single-model configurations
-    if use_crf:
-        fvm, fva = pp.compute_vmap(filtered, cam, fparams["depth_cutoff"])
-        fnm, fna = pp.compute_nmap(fvm, fva)
-        seg_err_maps = jax.vmap(
-            lambda p_new, p_old, mpyr: od.icp_error_map_ungated(
-                p_new, p_old, fvm, fnm, fva & fna, mpyr, cam, tparams
+        if use_crf:
+            err_map = od.icp_error_map_ungated(
+                r.pose, pose_m, frame_pyr.vmap[0], frame_pyr.nmap[0],
+                frame_pyr.valid[0], mpyr, cam, tparams,
             )
-        )(new_pose, models.pose, model_pyrs)
-    else:
-        seg_err_maps = jnp.zeros((M,) + cam.shape, jnp.float32)
+        else:
+            err_map = jnp.zeros(cam.shape, jnp.float32)
+        return r, err_map
+
+    def idle_branch(op):
+        pose_m = op[0]
+        z = jnp.float32(0)
+        r = od.OdometryResult(
+            pose=pose_m, A=jnp.eye(6, dtype=jnp.float32),
+            b=jnp.zeros((6,), jnp.float32),
+            icp_error=z, icp_count=z, rgb_error=z, rgb_count=z, so3_error=z,
+        )
+        return r, jnp.zeros(cam.shape, jnp.float32)
+
+    res_list, err_list = [], []
+    for m in range(M):
+        op = (
+            models.pose[m], models.model_id[m], pred_vert[m], pred_norm[m],
+            pred_valid[m], pred_image[m],
+        )
+        r_m, e_m = jax.lax.cond(models.active[m], track_branch, idle_branch, op)
+        res_list.append(r_m)
+        err_list.append(e_m)
+    res = jax.tree.map(lambda *xs: jnp.stack(xs), *res_list)
+    new_pose = jnp.where(models.active[:, None, None], res.pose, models.pose)
+    seg_err_maps = jnp.stack(err_list)
 
     # --- segmentation + model lifecycle (multi-model) ---------------------
     # Two sources of the per-pixel model mask (Segmentation::performSegmentation):
@@ -722,9 +740,11 @@ def _step(
         from cofusion_tpu.ops import ferns as fern_ops
 
         # tracking-lost detection: any covariance axis above threshold for >10
-        # consecutive frames (CoFusion.cpp:301-338; covariance = lastA^-1)
+        # consecutive frames (CoFusion.cpp:301-338; covariance = lastA^-1).
+        # With GN level-0 striding A scales by ~1/stride^2, so the absolute
+        # threshold is rescaled to keep the same sensitivity.
         cov = jnp.diag(jnp.linalg.inv(res.A[0] + 1e-9 * jnp.eye(6)))
-        unstable = jnp.any(cov > 1e-4)
+        unstable = jnp.any(cov > 1e-4 * float(cfg.gn_stride_l0) ** 2)
         unstable_count = jnp.where(unstable, state.unstable_count + 1, jnp.int32(0))
         lost = state.lost | (unstable_count > 10)
 
@@ -756,7 +776,10 @@ def _step(
         match = fern_ops.find_frame(fern_db, rgb_s, vm_s, tick, min_age=fparams["fern_min_age"])
         # 20 iterations (2x reference): at 1/8 resolution each is microseconds and
         # the 3e-4 error gate needs full convergence
-        fern_cfg = cfg.replace(use_so3=False, use_pyramid=False, gn_iters=(20, 0, 0), camera=cam_s)
+        fern_cfg = cfg.replace(
+            use_so3=False, use_pyramid=False, gn_iters=(20, 0, 0), camera=cam_s,
+            gn_stride_l0=1,  # fern inlier-count gates assume full-res counts
+        )
         fern_tp = tparams.__class__(icp_weight=100.0, min_correspondences=tparams.min_correspondences)
         fern_frame = od.build_frame_pyramid(
             jnp.where(va_s, d_s, 0.0), pp.rgb_to_intensity(rgb_s), None, 0,
@@ -1007,7 +1030,8 @@ def _fuse_clean_all(
     tickf = tick.astype(jnp.float32)
     td_f = fparams["time_delta"].astype(jnp.float32)
 
-    def fuse_clean_one(store, pose, w, model_id, conf_threshold, active, max_d):
+    def fuse_clean_one(op):
+        store, pose, w, model_id, conf_threshold, max_d = op
         fs = fu.make_frame_surfels(depth, filtered, rgb, cam, w, max_d)
         mask_ok = (mask == model_id) if multi else jnp.ones(cam.shape, bool)
         imap = rz.predict_indices(
@@ -1025,22 +1049,21 @@ def _fuse_clean_all(
         # them — copy_unstable.vert:136 immunity — but per-frame passes never
         # need them again) move to the stable tier
         aged = (cleaned.last_time > 0) & ((tickf - cleaned.last_time) > td_f)
-        new_store, blk = sm.expel_split(cleaned, keep, aged, cfg.expel_block)
-        # inactive models pass through untouched (scalar `active` broadcasts)
-        out = jax.tree.map(lambda new, old: jnp.where(active, new, old), new_store, store)
-        blk = blk._replace(
-            count=jnp.where(active, blk.count, 0),
-            valid=blk.valid & active,
-        )
-        return out, blk
+        return sm.expel_split(cleaned, keep, aged, cfg.expel_block)
+
+    def idle_one(op):
+        store = op[0]
+        return store, sm.empty_store(cfg.expel_block)
 
     outs, blks = [], []
     for m in range(M):
         one = lambda a: a[m]
-        out_m, blk_m = fuse_clean_one(
+        op = (
             jax.tree.map(one, stores), new_pose[m], weight[m], model_ids[m],
-            conf_thresholds[m], active_fuse[m], model_max_depth[m],
+            conf_thresholds[m], model_max_depth[m],
         )
+        # inactive slots skip the whole fuse/clean pipeline at runtime
+        out_m, blk_m = jax.lax.cond(active_fuse[m], fuse_clean_one, idle_one, op)
         outs.append(out_m)
         blks.append(blk_m)
     new_stores = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)

@@ -102,28 +102,53 @@ def empty_store(capacity: int) -> SurfelStore:
     )
 
 
-def _map_data(store: SurfelStore, fn) -> dict:
-    return {f: fn(getattr(store, f)) for f in DATA_FIELDS}
+def _pack_rows(store: SurfelStore):
+    """Pack the 13 float attributes into two row tables (8 + 5 channels) so
+    permutation-style moves are 2 row-gathers instead of 13 scalar ones (an
+    8-wide row gather costs ~half of one scalar gather on this hardware)."""
+    pk1 = jnp.stack(
+        [store.px, store.py, store.pz, store.radius,
+         store.cr, store.cg, store.cb, store.conf], axis=-1
+    )
+    pk2 = jnp.stack(
+        [store.nx, store.ny, store.nz, store.init_time, store.last_time], axis=-1
+    )
+    return pk1, pk2
+
+
+def _rows_to_fields(r1, r2) -> dict:
+    return dict(
+        px=r1[:, 0], py=r1[:, 1], pz=r1[:, 2], radius=r1[:, 3],
+        cr=r1[:, 4], cg=r1[:, 5], cb=r1[:, 6], conf=r1[:, 7],
+        nx=r2[:, 0], ny=r2[:, 1], nz=r2[:, 2],
+        init_time=r2[:, 3], last_time=r2[:, 4],
+    )
 
 
 def compact(store: SurfelStore, keep: jnp.ndarray) -> SurfelStore:
     """Stream compaction: keep the surfels where `keep & valid`, packed to the
     front, order-preserving.  The TPU equivalent of the reference's transform-
     feedback geometry-shader discard + GL_PRIMITIVES_GENERATED query
-    (Core/Model/Model.cpp:626-676).  One cumsum + 14 scalar scatters, all at
-    memory bandwidth (planar layout)."""
+    (Core/Model/Model.cpp:626-676).
+
+    Cumsum -> inverse permutation (one scalar scatter) -> two packed
+    row-GATHERS: gathers are cheaper than scatters here and row packing cuts
+    13 attribute moves to 2."""
     keep = keep & store.valid
     n = store.capacity
     dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
     new_count = jnp.sum(keep.astype(jnp.int32))
     dest = jnp.where(keep, dest, n)  # dropped -> scatter-dropped
 
-    def scatter(arr):
-        return jnp.zeros_like(arr).at[dest].set(arr, mode="drop")
-
-    out = _map_data(store, scatter)
-    out["valid"] = jnp.arange(n) < new_count
-    return SurfelStore(count=new_count, **out)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    src = jnp.full((n,), jnp.int32(0)).at[dest].set(iota, mode="drop")
+    pk1, pk2 = _pack_rows(store)
+    r1 = jnp.take(pk1, src, axis=0)
+    r2 = jnp.take(pk2, src, axis=0)
+    has = iota < new_count
+    r1 = jnp.where(has[:, None], r1, 0.0)
+    r2 = jnp.where(has[:, None], r2, 0.0)
+    return SurfelStore(count=new_count, valid=has, **_rows_to_fields(r1, r2))
 
 
 def append(store: SurfelStore, new: SurfelStore, new_mask: jnp.ndarray) -> SurfelStore:
@@ -174,6 +199,7 @@ def expel_split(
     """
     keep = keep & store.valid
     expel = expel & keep
+    n = store.capacity
     rank = jnp.cumsum(expel.astype(jnp.int32)) - 1
     taken = expel & (rank < block)
     stay = keep & ~taken
@@ -181,13 +207,16 @@ def expel_split(
     dest = jnp.where(taken, rank, block)
     n_ex = jnp.minimum(jnp.sum(expel.astype(jnp.int32)), block)
 
-    out = {
-        f: jnp.zeros((block,) + getattr(store, f).shape[1:], getattr(store, f).dtype)
-        .at[dest].set(getattr(store, f), mode="drop")
-        for f in DATA_FIELDS
-    }
-    out["valid"] = jnp.arange(block) < n_ex
-    blk = SurfelStore(count=n_ex, **out)
+    # inverse permutation into the block + two packed row-gathers (see compact)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    src_b = jnp.full((block,), jnp.int32(0)).at[dest].set(iota, mode="drop")
+    pk1, pk2 = _pack_rows(store)
+    r1 = jnp.take(pk1, src_b, axis=0)
+    r2 = jnp.take(pk2, src_b, axis=0)
+    has_b = jnp.arange(block) < n_ex
+    r1 = jnp.where(has_b[:, None], r1, 0.0)
+    r2 = jnp.where(has_b[:, None], r2, 0.0)
+    blk = SurfelStore(count=n_ex, valid=has_b, **_rows_to_fields(r1, r2))
     return compact(store, stay), blk
 
 

@@ -212,16 +212,30 @@ def fuse(
         "radius": frame.radius.reshape(-1),
     }
 
-    # --- update pass: scatter-accumulate into per-surfel scalar accumulators
+    # --- update pass: scatter-accumulate into per-surfel accumulators.
+    # Row-packed: two row scatter-adds (8 + 4 channels) instead of 11 scalar
+    # scatter-adds — an 8-wide row scatter costs ~2.4x one scalar scatter on
+    # this hardware, so packing is ~3x cheaper overall.
     n = store.capacity
     tgt = jnp.where(merge, best_idx, n).reshape(-1)
     a = jnp.where(merge, frame.conf, 0.0).reshape(-1)
 
-    def acc(col):
-        return jnp.zeros((n,), jnp.float32).at[tgt].add(a * col, mode="drop")
-
-    sum_a = jnp.zeros((n,), jnp.float32).at[tgt].add(a, mode="drop")
-    sums = {k: acc(v) for k, v in w_cols.items()}
+    upd1 = jnp.stack(
+        [a, a * w_cols["px"], a * w_cols["py"], a * w_cols["pz"],
+         a * w_cols["radius"], a * w_cols["cr"], a * w_cols["cg"], a * w_cols["cb"]],
+        axis=-1,
+    )
+    upd2 = jnp.stack(
+        [a * w_cols["nx"], a * w_cols["ny"], a * w_cols["nz"], a], axis=-1
+    )
+    acc1 = jnp.zeros((n, 8), jnp.float32).at[tgt].add(upd1, mode="drop")
+    acc2 = jnp.zeros((n, 4), jnp.float32).at[tgt].add(upd2, mode="drop")
+    sum_a = acc1[:, 0]
+    sums = {
+        "px": acc1[:, 1], "py": acc1[:, 2], "pz": acc1[:, 3],
+        "radius": acc1[:, 4], "cr": acc1[:, 5], "cg": acc1[:, 6], "cb": acc1[:, 7],
+        "nx": acc2[:, 0], "ny": acc2[:, 1], "nz": acc2[:, 2],
+    }
 
     hit = sum_a > 0
     a_tot = jnp.maximum(sum_a, 1e-12)
@@ -263,32 +277,41 @@ def fuse(
         last_time=jnp.where(hit, tf, store.last_time),
     )
 
-    # --- new unstable surfels: bounded append with scalar scatters
+    # --- new unstable surfels: bounded append, row-packed (two row scatters
+    # instead of 13 scalar scatters; init_time == last_time == tf shares one
+    # channel)
     new_flat = new.reshape(-1)
     rank = jnp.cumsum(new_flat.astype(jnp.int32)) - 1
     dest = jnp.where(new_flat, store.count + rank, n)
     appended = jnp.sum(new_flat.astype(jnp.int32))
     new_count = jnp.minimum(store.count + appended, n)
 
-    def put(dst, col):
-        return dst.at[dest].set(col, mode="drop")
-
     conf_col = frame.conf.reshape(-1)
-    t_col = jnp.full((H * W,), tf)
+    rowA = jnp.stack(
+        [w_cols["px"], w_cols["py"], w_cols["pz"], w_cols["radius"],
+         w_cols["cr"], w_cols["cg"], w_cols["cb"], conf_col],
+        axis=-1,
+    )
+    rowB = jnp.stack(
+        [w_cols["nx"], w_cols["ny"], w_cols["nz"], jnp.full((H * W,), tf)],
+        axis=-1,
+    )
+    oldA = jnp.stack(
+        [updated.px, updated.py, updated.pz, updated.radius,
+         updated.cr, updated.cg, updated.cb, updated.conf],
+        axis=-1,
+    )
+    oldB = jnp.stack(
+        [updated.nx, updated.ny, updated.nz, updated.init_time], axis=-1
+    )
+    outA = oldA.at[dest].set(rowA, mode="drop")
+    outB = oldB.at[dest].set(rowB, mode="drop")
     return SurfelStore(
-        px=put(updated.px, w_cols["px"]),
-        py=put(updated.py, w_cols["py"]),
-        pz=put(updated.pz, w_cols["pz"]),
-        nx=put(updated.nx, w_cols["nx"]),
-        ny=put(updated.ny, w_cols["ny"]),
-        nz=put(updated.nz, w_cols["nz"]),
-        cr=put(updated.cr, w_cols["cr"]),
-        cg=put(updated.cg, w_cols["cg"]),
-        cb=put(updated.cb, w_cols["cb"]),
-        radius=put(updated.radius, w_cols["radius"]),
-        conf=put(updated.conf, conf_col),
-        init_time=put(updated.init_time, t_col),
-        last_time=put(updated.last_time, t_col),
+        px=outA[:, 0], py=outA[:, 1], pz=outA[:, 2], radius=outA[:, 3],
+        cr=outA[:, 4], cg=outA[:, 5], cb=outA[:, 6], conf=outA[:, 7],
+        nx=outB[:, 0], ny=outB[:, 1], nz=outB[:, 2],
+        init_time=outB[:, 3],
+        last_time=updated.last_time.at[dest].set(jnp.full((H * W,), tf), mode="drop"),
         valid=jnp.arange(n) < new_count,
         count=new_count,
     )
@@ -340,43 +363,54 @@ def clean_eval(
 
     lin = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
 
-    # --- pre-combined flat pixel tables (image-scale, VMEM-resident) -------
+    # --- pre-combined flat pixel tables (image-scale, VMEM-resident).
+    # Channels packed per pixel so each window tap is ONE row-gather (an 8-wide
+    # row gather costs half of ONE scalar gather here; 5 scalar gathers per tap
+    # would be ~10x the traffic).  The reference's dup window is +/-1 px at
+    # half-pixel steps (copy_unstable.vert:76-78,87-88: windowMultiplier = 2,
+    # indexStep = 0.5 px) — 9 distinct texels, matching this 3x3 tap loop.
     imap_has = imap.valid
     q_conf_ok = imap_has & (imap.vert_conf[..., 3] > conf_threshold)
     zq = imap.vert_conf[..., 2]
     # dup candidates: rendered, confident -> z; else -inf (kills every compare)
-    z_dup = jnp.where(q_conf_ok, zq, -jnp.inf).reshape(-1)
+    z_dup = jnp.where(q_conf_ok, zq, -jnp.inf)
     # z-dup additionally requires the rendered surfel updated THIS tick
-    z_zdup = jnp.where(
-        q_conf_ok & (imap.last_time == time), zq, -jnp.inf
-    ).reshape(-1)
-    it_q = jnp.where(imap_has, imap.color_time[..., 3], jnp.inf).reshape(-1)
-    xq = imap.vert_conf[..., 0].reshape(-1)
-    yq = imap.vert_conf[..., 1].reshape(-1)
-    depth_flat = depth_input.reshape(-1)
+    z_zdup = jnp.where(q_conf_ok & (imap.last_time == time), zq, -jnp.inf)
+    it_q = jnp.where(imap_has, imap.color_time[..., 3], jnp.inf)
+    dup_tab = jnp.stack(
+        [z_dup, z_zdup, it_q, imap.vert_conf[..., 0], imap.vert_conf[..., 1]],
+        axis=-1,
+    ).reshape(H * W, 5)
+
+    # free-space violation row table: the surfel's whole 3x3 depth window plus
+    # the mask/center-depth channels in ONE row-gather
+    dwin = [
+        _shifted(depth_input, dy, dx, 0.0)
+        for dy in range(-1, 2)
+        for dx in range(-1, 2)
+    ]
+    mask_ch = (
+        mask.astype(jnp.float32) if mask is not None else jnp.zeros((H, W))
+    )
+    viol_tab = jnp.stack(dwin + [mask_ch], axis=-1).reshape(H * W, 10)
 
     count = jnp.zeros((n,), jnp.int32)
     z_count = jnp.zeros((n,), jnp.int32)
-    violations = jnp.zeros((n,), jnp.int32)
-    viol_sum = jnp.zeros((n,), jnp.float32)
-
-    def gat(flat_arr, off):
-        idx = jnp.clip(lin + off, 0, H * W - 1)
-        return jnp.take(flat_arr, idx)
 
     steep = jnp.abs(lnz) > 0.85
-    for dy in range(-2, 3):
-        for dx in range(-2, 3):
+    for dy in range(-1, 2):
+        for dx in range(-1, 2):
             off = dy * W + dx
             oob = (
                 (xi + dx < 0) | (xi + dx >= W) | (yi + dy < 0) | (yi + dy >= H)
             )
             ok_tap = ~oob & search_ok
-            zd = gat(z_dup, off)
-            zz = gat(z_zdup, off)
-            it = gat(it_q, off)
-            qx = gat(xq, off)
-            qy = gat(yq, off)
+            row = jnp.take(dup_tab, jnp.clip(lin + off, 0, H * W - 1), axis=0)
+            zd = row[:, 0]
+            zz = row[:, 1]
+            it = row[:, 2]
+            qx = row[:, 3]
+            qy = row[:, 4]
             # duplicate: older, confident, behind, close, within radius
             dup = (
                 ok_tap
@@ -397,15 +431,19 @@ def clean_eval(
             )
             z_count = z_count + zdup.astype(jnp.int32)
 
-    # free-space violation: 3x3 depth window, observed depth beyond surfel by >3cm
-    for dy in range(-1, 2):
-        for dx in range(-1, 2):
-            off = dy * W + dx
-            oob = (xi + dx < 0) | (xi + dx >= W) | (yi + dy < 0) | (yi + dy >= H)
-            d = gat(depth_flat, off)
-            viol = search_ok & ~oob & (d - zl > 0.03) & (d > 0)
-            violations = violations + viol.astype(jnp.int32)
-            viol_sum = viol_sum + jnp.where(viol, d - zl, 0.0)
+    # free-space violation: 3x3 depth window, observed depth beyond surfel by
+    # >3cm — one row-gather of the precomputed window table
+    vrow = jnp.take(viol_tab, lin, axis=0)
+    violations = jnp.zeros((n,), jnp.int32)
+    viol_sum = jnp.zeros((n,), jnp.float32)
+    for k, (dy, dx) in enumerate(
+        (dy, dx) for dy in range(-1, 2) for dx in range(-1, 2)
+    ):
+        oob = (xi + dx < 0) | (xi + dx >= W) | (yi + dy < 0) | (yi + dy >= H)
+        d = vrow[:, k]
+        viol = search_ok & ~oob & (d - zl > 0.03) & (d > 0)
+        violations = violations + viol.astype(jnp.int32)
+        viol_sum = viol_sum + jnp.where(viol, d - zl, 0.0)
 
     keep = jnp.ones((n,), bool)
     keep = keep & ~((count > 8) | (z_count > 4))
@@ -424,9 +462,10 @@ def clean_eval(
         has_viol, store.conf / (1.0 + outlier_coeff * avg_viol), store.conf
     )
     if mask is not None:
-        mask_flat = mask.reshape(-1)
-        m_val = jnp.take(mask_flat, lin)
-        w_depth = jnp.take(depth_flat, lin)
+        # center depth is window channel (0,0) = 4; mask is channel 9 (both
+        # already in the gathered violation row — no extra gathers)
+        m_val = vrow[:, 9].astype(jnp.int32)
+        w_depth = vrow[:, 4]
         mism = (
             has_viol
             & (m_val != mask_id)

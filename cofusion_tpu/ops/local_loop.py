@@ -72,7 +72,9 @@ def local_loop(
     # 2. model-to-model odometry: frame side = ACTIVE prediction, model side =
     #    INACTIVE prediction (initICP splat variant + initICPModel old textures,
     #    CoFusion.cpp:394-400); so3 disabled (CoFusion.cpp:405 passes so3=false)
-    loop_cfg = cfg.replace(use_so3=False)
+    # no GN stride: the covariance/inlier-count gates are absolute thresholds
+    # calibrated for full-resolution correspondence counts
+    loop_cfg = cfg.replace(use_so3=False, gn_stride_l0=1)
     frame_pyr = od.build_frame_pyramid_from_maps(
         splat_active.vert_conf[..., :3],
         splat_active.normal_rad[..., :3],

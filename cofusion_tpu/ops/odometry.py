@@ -62,14 +62,21 @@ class FramePyramid(NamedTuple):
 
 
 class ModelPyramid(NamedTuple):
-    """Model-prediction ("last"/"prev") tracking inputs per level."""
+    """Model-prediction ("last"/"prev") tracking inputs per level.
+
+    `icp_pack` / `rgb_pack` are row-packed flat gather tables rebuilt once per
+    solve and reused by every GN iteration: one 8-wide row gather costs about
+    half of ONE scalar gather on this TPU, so packing the 7 ICP channels
+    (vmap_w, nmap_w, valid) and the 2 RGB channels (depth, intensity) cuts the
+    per-iteration gather bill ~5x."""
 
     vmap_w: tuple    # (H, W, 3) world-frame predicted vertices
     nmap_w: tuple    # (H, W, 3) world-frame predicted normals
     valid: tuple     # (H, W) bool
     depth: tuple     # (H, W) predicted camera-frame depth ("lastDepth")
     intensity: tuple  # (H, W) predicted luma
-    cloud: tuple     # (H, W, 3) camera-frame back-projection of `depth`
+    icp_pack: tuple  # (H*W, 8) [vx,vy,vz,nx,ny,nz,valid,0]
+    rgb_pack: tuple  # (H*W, 2) [depth, intensity]
 
 
 class OdometryResult(NamedTuple):
@@ -201,6 +208,32 @@ def build_frame_pyramid(
     )
 
 
+def with_model_mask(frame: FramePyramid, mask_pyrs, model_id) -> FramePyramid:
+    """Per-model mask gating applied to a SHARED frame pyramid (Co-Fusion's
+    masked tracking, Segmentation-driven):
+
+      * ICP: correspondence validity &= (mask == maskID).  The reference
+        intends this gate in createVMap but ships it FIXME-disabled
+        (cudafuncs.cu:119); without it a moving object's pixels contaminate
+        the background solve (measured: 7 mm/frame camera drift on the
+        moving-object test).  Gating validity on the shared pyramid (instead
+        of rebuilding masked vertex/normal pyramids per model) keeps the
+        expensive pyramid build shared; only boundary-pixel normals differ
+        from a fully masked rebuild, and the angle gate screens those.
+      * RGB: mask == maskID inside the residual window (reduce.cu:810 — this
+        one the reference does apply).  window_ok distributes over &, so
+        combining the shared rgb_ok with window_ok(mask == id) is exact."""
+    valids = tuple(
+        frame.valid[lvl] & (mask_pyrs[lvl] == model_id)
+        for lvl in range(len(frame.valid))
+    )
+    rgb_oks = tuple(
+        frame.rgb_ok[lvl] & _window_ok(mask_pyrs[lvl] == model_id)
+        for lvl in range(len(frame.rgb_ok))
+    )
+    return frame._replace(valid=valids, rgb_ok=rgb_oks)
+
+
 def build_frame_pyramid_from_maps(
     vmap_c: jnp.ndarray,
     nmap_c: jnp.ndarray,
@@ -286,7 +319,19 @@ def build_model_pyramid(
     for _ in range(levels - 1):
         depths.append(pp.pyr_down_gauss(depths[-1]))
         intens.append(pp.pyr_down_gauss(intens[-1]))
-    clouds = [pp.project_to_point_cloud(depths[l], cam.at_level(l)) for l in range(levels)]
+
+    icp_packs = [
+        jnp.concatenate(
+            [vms[l], nms[l], oks[l][..., None].astype(jnp.float32),
+             jnp.zeros_like(depths[l])[..., None]],
+            axis=-1,
+        ).reshape(-1, 8)
+        for l in range(levels)
+    ]
+    rgb_packs = [
+        jnp.stack([depths[l], intens[l]], axis=-1).reshape(-1, 2)
+        for l in range(levels)
+    ]
 
     return ModelPyramid(
         vmap_w=tuple(vms),
@@ -294,7 +339,8 @@ def build_model_pyramid(
         valid=tuple(oks),
         depth=tuple(depths),
         intensity=tuple(intens),
-        cloud=tuple(clouds),
+        icp_pack=tuple(icp_packs),
+        rgb_pack=tuple(rgb_packs),
     )
 
 
@@ -302,13 +348,24 @@ def build_model_pyramid(
 # per-level term builders
 
 
-def _icp_terms(Rcurr, tcurr, Rprev_inv, tprev, frame, model, lvl, cam_l, params):
+def _icp_terms(Rcurr, tcurr, Rprev_inv, tprev, frame, model, lvl, cam_l, params,
+               stride: int = 1):
     """Projective data association + point-to-plane rows (ICPReduction::search /
-    getProducts, reduce.cu:283-394).  Returns (A, b, err, count, dist_map)."""
+    getProducts, reduce.cu:283-394).  Returns (A, b, err, count, dist_map).
+
+    `stride`: correspondence decimation on the frame side (TPU-first
+    divergence: at full resolution 1/4 of 307k correspondences still
+    over-determines the 6-DoF system by ~4 orders of magnitude; the model side
+    stays full-res so association is unchanged).  dist_map is only valid for
+    stride == 1."""
     vm_c = frame.vmap[lvl]
     nm_c = frame.nmap[lvl]
     f_ok = frame.valid[lvl]
     H, W = f_ok.shape
+    if stride > 1:
+        vm_c = vm_c[::stride, ::stride]
+        nm_c = nm_c[::stride, ::stride]
+        f_ok = f_ok[::stride, ::stride]
 
     vcurr_g = _rotate(Rcurr, vm_c) + tcurr
     vcurr_cp = _rotate(Rprev_inv, vcurr_g - tprev)
@@ -317,9 +374,14 @@ def _icp_terms(Rcurr, tcurr, Rprev_inv, tprev, frame, model, lvl, cam_l, params)
     v = jnp.round(vcurr_cp[..., 1] * cam_l.fy / jnp.where(z == 0, 1.0, z) + cam_l.cy).astype(jnp.int32)
     inb = (u >= 0) & (v >= 0) & (u < W) & (v < H) & (z > 0)
 
-    vprev_g = _gather2d(model.vmap_w[lvl], v, u)
-    nprev_g = _gather2d(model.nmap_w[lvl], v, u)
-    m_ok = _gather2d(model.valid[lvl], v, u)
+    # ONE packed row-gather for the 7 model channels
+    lin = jnp.clip(v, 0, H - 1) * W + jnp.clip(u, 0, W - 1)
+    rows_m = jnp.take(model.icp_pack[lvl], lin.reshape(-1), axis=0).reshape(
+        lin.shape + (8,)
+    )
+    vprev_g = rows_m[..., 0:3]
+    nprev_g = rows_m[..., 3:6]
+    m_ok = rows_m[..., 6] > 0.5
 
     ncurr_g = _rotate(Rcurr, nm_c)
     diff = vprev_g - vcurr_g
@@ -349,9 +411,11 @@ def _icp_terms(Rcurr, tcurr, Rprev_inv, tprev, frame, model, lvl, cam_l, params)
     return A, b, err, count, dist_map
 
 
-def _rgb_terms(resultRt, frame, model, lvl, cam_l, params, rgb_only):
+def _rgb_terms(resultRt, frame, model, lvl, cam_l, params, rgb_only,
+               stride: int = 1):
     """Photometric correspondences + Jacobian rows (RGBResidual::getProducts,
-    reduce.cu:785-865 + RGBReduction::getProducts, reduce.cu:521-604)."""
+    reduce.cu:785-865 + RGBReduction::getProducts, reduce.cu:521-604).
+    `stride` decimates the frame-side pixel set (see _icp_terms)."""
     H, W = frame.intensity[lvl].shape
     K = jnp.array(
         [[cam_l.fx, 0.0, cam_l.cx], [0.0, cam_l.fy, cam_l.cy], [0.0, 0.0, 1.0]], jnp.float32
@@ -369,12 +433,17 @@ def _rgb_terms(resultRt, frame, model, lvl, cam_l, params, rgb_only):
     krkinv = jnp.matmul(jnp.matmul(K, R, precision=_HI), Kinv, precision=_HI)
     kt = jnp.matmul(K, Rt[:3, 3:4], precision=_HI)[:, 0]
 
-    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    d1 = frame.depth[lvl]
+    s = stride
+    Hs, Ws = (H + s - 1) // s, (W + s - 1) // s
+    # pixel coordinates of the strided subset (original-resolution coords)
+    x = jax.lax.broadcasted_iota(jnp.float32, (Hs, Ws), 1) * s
+    y = jax.lax.broadcasted_iota(jnp.float32, (Hs, Ws), 0) * s
+    d1 = frame.depth[lvl][::s, ::s]
+    cur_i = frame.intensity[lvl][::s, ::s]
+    frame_rgb_ok = frame.rgb_ok[lvl][::s, ::s]
 
     min_scale = (params.min_grad_mags[lvl] ** 2) / (params.sobel_scale**2)
-    didx, didy = frame.didx[lvl], frame.didy[lvl]
+    didx, didy = frame.didx[lvl][::s, ::s], frame.didy[lvl][::s, ::s]
     grad_ok = (didx * didx + didy * didy) >= min_scale
 
     td1 = d1 * (krkinv[2, 0] * x + krkinv[2, 1] * y + krkinv[2, 2]) + kt[2]
@@ -383,10 +452,14 @@ def _rgb_terms(resultRt, frame, model, lvl, cam_l, params, rgb_only):
     v0 = jnp.round((d1 * (krkinv[1, 0] * x + krkinv[1, 1] * y + krkinv[1, 2]) + kt[1]) / td1_safe).astype(jnp.int32)
     inb = (u0 >= 0) & (v0 >= 0) & (u0 < W) & (v0 < H)
 
-    d0 = _gather2d(model.depth[lvl], v0, u0)
-    last_i = _gather2d(model.intensity[lvl], v0, u0)
+    lin0 = jnp.clip(v0, 0, H - 1) * W + jnp.clip(u0, 0, W - 1)
+    rows_m = jnp.take(model.rgb_pack[lvl], lin0.reshape(-1), axis=0).reshape(
+        lin0.shape + (2,)
+    )
+    d0 = rows_m[..., 0]
+    last_i = rows_m[..., 1]
     found = (
-        frame.rgb_ok[lvl]
+        frame_rgb_ok
         & grad_ok
         & (d1 > 0)
         & inb
@@ -394,7 +467,7 @@ def _rgb_terms(resultRt, frame, model, lvl, cam_l, params, rgb_only):
         & (jnp.abs(td1 - d0) <= params.max_depth_delta_rgb)
         & (last_i > 0)
     )
-    diff = frame.intensity[lvl] - last_i
+    diff = cur_i - last_i
     sigma = jnp.sum(jnp.where(found, diff * diff, 0.0))
     count = jnp.sum(found.astype(jnp.float32))
 
@@ -409,17 +482,20 @@ def _rgb_terms(resultRt, frame, model, lvl, cam_l, params, rgb_only):
         wden = sigma_val + jnp.abs(diff)
         w = jnp.where(wden > 1.19209290e-07, 1.0 / wden, 1.0)
 
-    cloud = _gather2d(model.cloud[lvl], v0, u0)
-    cz = cloud[..., 2]
+    # back-project the gathered depth inline instead of gathering a separate
+    # cloud pyramid: cloud[v0,u0] = ((u0-cx)/fx*d0, (v0-cy)/fy*d0, d0) exactly
+    cz = d0
+    cx_ = (u0.astype(jnp.float32) - cam_l.cx) / cam_l.fx * d0
+    cy_ = (v0.astype(jnp.float32) - cam_l.cy) / cam_l.fy * d0
     invz = 1.0 / jnp.where(cz == 0, 1.0, cz)
     dIdx_v = w * params.sobel_scale * didx
     dIdy_v = w * params.sobel_scale * didy
     r0 = dIdx_v * cam_l.fx * invz
     r1 = dIdy_v * cam_l.fy * invz
-    r2 = -(r0 * cloud[..., 0] + r1 * cloud[..., 1]) * invz
-    r3 = -cz * r1 + cloud[..., 1] * r2
-    r4 = cz * r0 - cloud[..., 0] * r2
-    r5 = -cloud[..., 1] * r0 + cloud[..., 0] * r1
+    r2 = -(r0 * cx_ + r1 * cy_) * invz
+    r3 = -cz * r1 + cy_ * r2
+    r4 = cz * r0 - cx_ * r2
+    r5 = -cy_ * r0 + cx_ * r1
     r6 = -w * diff
     rows = jnp.stack([r0, r1, r2, r3, r4, r5, r6], axis=-1)
     A, b, err, _ = _reduce_system(rows, found)
@@ -486,6 +562,8 @@ def _so3_prealign(ref_intensity, cur_intensity, cam_l, iters: int):
 
     ref_gx, ref_gy = half_grad(ref_intensity)
 
+    nxt_gx_img, nxt_gy_img = half_grad(cur_intensity)  # loop-invariant
+
     def body(_, carry):
         R, last_err, last_count, last_R, stopped = carry
         basis = jnp.matmul(jnp.matmul(K, R, precision=_HI), Kinv, precision=_HI)
@@ -497,7 +575,6 @@ def _so3_prealign(ref_intensity, cur_intensity, cam_l, iters: int):
         wy = jnp.round((basis[1, 0] * x + basis[1, 1] * y + basis[1, 2]) / wz).astype(jnp.int32)
         found = (wx >= 1) & (wx < W - 1) & (wy >= 1) & (wy < H - 1) & (x >= 1) & (x < W - 1) & (y >= 1) & (y < H - 1)
 
-        nxt_gx_img, nxt_gy_img = half_grad(cur_intensity)
         nxt_gx = _gather2d(nxt_gx_img, wy, wx)
         nxt_gy = _gather2d(nxt_gy_img, wy, wx)
         gx = (nxt_gx + ref_gx) * 0.5
@@ -619,7 +696,8 @@ def get_incremental_transformation(
 
             if use_rgb:
                 A_rgb, b_rgb, sigma, rgb_cnt, rgb_err = _rgb_terms(
-                    resultRt, frame, model, lvl, cam_l, params, params.rgb_only
+                    resultRt, frame, model, lvl, cam_l, params, params.rgb_only,
+                    stride=cfg.gn_stride_l0 if lvl == 0 else 1,
                 )
             else:
                 A_rgb, b_rgb = zero66, zero6
@@ -627,7 +705,8 @@ def get_incremental_transformation(
 
             if use_icp:
                 A_icp, b_icp, icp_err_sq, icp_cnt, _ = _icp_terms(
-                    Rcurr, tcurr, Rprev_inv, tprev, frame, model, lvl, cam_l, params
+                    Rcurr, tcurr, Rprev_inv, tprev, frame, model, lvl, cam_l, params,
+                    stride=cfg.gn_stride_l0 if lvl == 0 else 1,
                 )
                 icp_err = jnp.sqrt(icp_err_sq) / jnp.maximum(icp_cnt, 1.0)
             else:

@@ -126,40 +126,62 @@ def _window_gate(store: SurfelStore, time, time_delta, active_window: bool):
     return (age <= time_delta) if active_window else (age > time_delta)
 
 
-def _zbuffer(lin, ok, z, idx_dim, n_buckets, n_sentinel):
-    """Two-pass deterministic z-buffer: scatter-min depth, then scatter-min
-    surfel index among depth winners.  `lin` already carries the fold of any
-    batch axes; entries with ~ok must equal n_buckets (dropped)."""
-    flat = lin.reshape(-1)
-    zbuf = jnp.full((n_buckets,), jnp.inf, jnp.float32).at[flat].min(
-        jnp.where(ok, z, jnp.inf).reshape(-1), mode="drop"
-    )
-    zwin = ok & (z <= jnp.take(zbuf, jnp.clip(lin, 0, n_buckets - 1)))
+def _zkey_bits(capacity: int) -> int:
+    """Bits of the packed z-key used for quantized depth: the single int32
+    scatter-min key is (zq << idx_bits) | surfel_idx, so nearer-z wins and ties
+    break to the smaller index deterministically.  idx_bits = ceil(log2(N));
+    the remaining (31 - idx_bits) bits quantize depth (e.g. 12 bits over a
+    4.5 m cutoff = 1.1 mm steps — below sensor noise; the reference's GL
+    z-buffer ties are rasterization-order nondeterministic, so this is
+    stronger, not weaker).  One scatter replaces the reference-style two-pass
+    (z scatter-min + index scatter-min + per-surfel z re-read) at a third of
+    the cost."""
+    idx_bits = max(1, (capacity - 1).bit_length())
+    zbits = 31 - idx_bits
+    if zbits < 8:
+        raise ValueError(f"capacity {capacity} leaves only {zbits} z bits")
+    return zbits
+
+
+def _zbuffer(lin, ok, z, idx_dim, n_buckets, capacity, max_depth):
+    """Single-pass packed-key z-buffer: one int32 scatter-min of
+    (quantized_z << idx_bits) | idx.  `lin` already carries the fold of any
+    batch axes; entries with ~ok must equal n_buckets (dropped).  Returns the
+    winner surfel index per bucket (capacity = no winner)."""
+    idx_bits = max(1, (capacity - 1).bit_length())
+    zbits = _zkey_bits(capacity)
+    zscale = jnp.float32((1 << zbits) - 1)
+    zq = jnp.clip(
+        (z / jnp.maximum(max_depth, 1e-6)) * zscale, 0.0, zscale
+    ).astype(jnp.int32)
     idx = jax.lax.broadcasted_iota(jnp.int32, lin.shape, idx_dim)
-    ibuf = jnp.full((n_buckets,), jnp.int32(n_sentinel)).at[
-        jnp.where(zwin, lin, n_buckets).reshape(-1)
-    ].min(idx.reshape(-1), mode="drop")
-    return ibuf
+    key = (zq << idx_bits) | idx
+    init = jnp.int32(2147483647)
+    kbuf = jnp.full((n_buckets,), init).at[lin.reshape(-1)].min(
+        jnp.where(ok, key, init).reshape(-1), mode="drop"
+    )
+    has = kbuf != init
+    return jnp.where(has, kbuf & ((1 << idx_bits) - 1), capacity)
 
 
 def _gather_channels(store, lx, ly, lz, lnx, lny, lnz, i0, has, out_shape):
-    """Gather the rendered surfel's attributes per pixel (13 scalar takes from
-    (N,) tables — each at bandwidth) and stack at image scale (cheap: < VMEM)."""
-    def g(arr):
-        return jnp.take(arr, i0, axis=0).reshape(out_shape)
-
-    vert_conf = jnp.stack([g(lx), g(ly), g(lz), g(store.conf)], axis=-1)
-    normal_rad = jnp.stack([g(lnx), g(lny), g(lnz), g(store.radius)], axis=-1)
-    color_time = jnp.stack(
-        [g(store.cr), g(store.cg), g(store.cb), g(store.init_time)], axis=-1
+    """Gather the rendered surfel's attributes per pixel via TWO packed
+    row-gathers (an 8-float row gather costs half of ONE scalar gather on this
+    hardware — 13 scalar takes would cost ~13x more) and unpack at image scale
+    (VMEM-resident, cheap)."""
+    pk1 = jnp.stack([lx, ly, lz, store.conf, lnx, lny, lnz, store.radius], axis=-1)
+    pk2 = jnp.stack(
+        [store.cr, store.cg, store.cb, store.init_time, store.last_time], axis=-1
     )
+    r1 = jnp.take(pk1, i0, axis=0).reshape(out_shape + (8,))
+    r2 = jnp.take(pk2, i0, axis=0).reshape(out_shape + (5,))
     hasx = has.reshape(out_shape)
     return IndexMap(
         index=jnp.where(hasx, i0.reshape(out_shape), -1),
-        vert_conf=jnp.where(hasx[..., None], vert_conf, 0.0),
-        normal_rad=jnp.where(hasx[..., None], normal_rad, 0.0),
-        color_time=jnp.where(hasx[..., None], color_time, 0.0),
-        last_time=jnp.where(hasx, g(store.last_time).reshape(out_shape), 0.0),
+        vert_conf=jnp.where(hasx[..., None], r1[..., 0:4], 0.0),
+        normal_rad=jnp.where(hasx[..., None], r1[..., 4:8], 0.0),
+        color_time=jnp.where(hasx[..., None], r2[..., 0:4], 0.0),
+        last_time=jnp.where(hasx, r2[..., 4], 0.0),
         valid=hasx,
     )
 
@@ -189,7 +211,7 @@ def predict_indices(
         ok = ok & (store.conf >= conf_threshold)
 
     lin = jnp.where(ok, vi * W + ui, H * W)
-    ibuf = _zbuffer(lin, ok, lz, 0, H * W, n)
+    ibuf = _zbuffer(lin, ok, lz, 0, H * W, n, max_depth)
     has = ibuf < n
     i0 = jnp.where(has, ibuf, 0)
     return _gather_channels(store, lx, ly, lz, lnx, lny, lnz, i0, has, (H, W))
@@ -243,7 +265,10 @@ def predict_indices_b(
 
     m_iota = jax.lax.broadcasted_iota(jnp.int32, (M, N), 0)
     lin = jnp.where(ok, m_iota * (H * W) + vi * W + ui, M * H * W)
-    ibuf = _zbuffer(lin, ok, lz, 1, M * H * W, N).reshape(M, H * W)
+    # per-model max_depth in the quantizer: use the max so keys stay comparable
+    ibuf = _zbuffer(
+        lin, ok, lz, 1, M * H * W, N, jnp.max(max_depth)
+    ).reshape(M, H * W)
     has = ibuf < N
     i0 = jnp.where(has, ibuf, 0)
 
