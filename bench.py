@@ -11,7 +11,10 @@ Notes:
     whether 0 or 3 object slots are active, so the measured FPS is the true
     multi-model+CRF workload cost regardless of segmentation outcomes;
   * BENCH_SURFELS / BENCH_MODELS / BENCH_FRAMES env vars override the scale
-    knobs for capacity-scaling studies (see PARITY.md).
+    knobs for capacity-scaling studies (see PARITY.md);
+  * per-stage device-time attribution (the whole frame is one jit, invisible
+    to host timers): `python tools/profile_step.py` re-times each stage of
+    this exact workload separately on the TPU.
 """
 
 import json
@@ -31,24 +34,31 @@ from cofusion_tpu.io.synthetic import SyntheticScene, camera_trajectory, object_
 
 
 def make_multi_object_frames(cam: CameraConfig, n: int):
-    """3 tilted moving boxes (sliding like car4 objects) + orbiting camera."""
+    """3 tilted moving boxes (sliding like car4 objects) + orbiting camera.
+
+    The n-frame cycle is a PING-PONG (poses run 0..1..0), so replaying it in a
+    loop is a continuous trajectory — no camera teleport at the wrap, and the
+    steady-state map the bench measures is a real revisited scene (the
+    reference's own '-r' rewind playback has the same shape)."""
     scene = SyntheticScene()
     specs = [
         (1, (0.14, -0.32, 1.82), (0.22, 0.10, 0.0), (0.35, 0.5, 0.0), 0.19),
         (2, (-0.55, 0.45, 2.30), (-0.18, 0.00, 0.12), (0.2, -0.4, 0.3), 0.16),
         (3, (0.75, 0.55, 2.60), (0.00, -0.20, -0.10), (-0.3, 0.25, 0.4), 0.17),
     ]
+    m = n // 2 + 1  # unique poses; playback order 0..m-1, m-2..1 has period n
     trajs = {}
     for mid, center, trans, tilt, h in specs:
         scene.add_moving_box(model_id=mid, lo=[-h, -h, -h], hi=[h, h, h])
-        trajs[mid] = object_trajectory(n, translation=trans, center=center, tilt=tilt)
-    cam_poses = camera_trajectory(n, kind="orbit")
-    frames = []
-    for i in range(n):
+        trajs[mid] = object_trajectory(m, translation=trans, center=center, tilt=tilt)
+    cam_poses = camera_trajectory(m, kind="orbit")
+    uniq = []
+    for i in range(m):
         op = {mid: trajs[mid][i] for mid in trajs}
         rgb, depth, _ = scene.render(cam, cam_poses[i], object_poses=op)
-        frames.append({"rgb": rgb, "depth": depth, "mask": None, "timestamp": i})
-    return frames
+        uniq.append({"rgb": rgb, "depth": depth, "mask": None})
+    order = list(range(m)) + list(range(m - 2, 0, -1))
+    return [dict(uniq[j], timestamp=i) for i, j in enumerate(order[:n])]
 
 
 def main():

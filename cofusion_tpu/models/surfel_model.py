@@ -102,27 +102,7 @@ def empty_store(capacity: int) -> SurfelStore:
     )
 
 
-def _pack_rows(store: SurfelStore):
-    """Pack the 13 float attributes into two row tables (8 + 5 channels) so
-    permutation-style moves are 2 row-gathers instead of 13 scalar ones (an
-    8-wide row gather costs ~half of one scalar gather on this hardware)."""
-    pk1 = jnp.stack(
-        [store.px, store.py, store.pz, store.radius,
-         store.cr, store.cg, store.cb, store.conf], axis=-1
-    )
-    pk2 = jnp.stack(
-        [store.nx, store.ny, store.nz, store.init_time, store.last_time], axis=-1
-    )
-    return pk1, pk2
-
-
-def _rows_to_fields(r1, r2) -> dict:
-    return dict(
-        px=r1[:, 0], py=r1[:, 1], pz=r1[:, 2], radius=r1[:, 3],
-        cr=r1[:, 4], cg=r1[:, 5], cb=r1[:, 6], conf=r1[:, 7],
-        nx=r2[:, 0], ny=r2[:, 1], nz=r2[:, 2],
-        init_time=r2[:, 3], last_time=r2[:, 4],
-    )
+_FLOAT_FIELDS = _POS + _NRM + _COL + ("radius", "conf", "init_time", "last_time")
 
 
 def compact(store: SurfelStore, keep: jnp.ndarray) -> SurfelStore:
@@ -131,9 +111,11 @@ def compact(store: SurfelStore, keep: jnp.ndarray) -> SurfelStore:
     feedback geometry-shader discard + GL_PRIMITIVES_GENERATED query
     (Core/Model/Model.cpp:626-676).
 
-    Cumsum -> inverse permutation (one scalar scatter) -> two packed
-    row-GATHERS: gathers are cheaper than scatters here and row packing cuts
-    13 attribute moves to 2."""
+    Cumsum -> inverse permutation (one scalar scatter) -> one bandwidth-speed
+    scalar GATHER per attribute.  Planar on purpose: packing the attributes
+    into (N, C) row tables first is a minor-axis relayout of beyond-VMEM
+    arrays (~60x bandwidth — it made fuse+clean cost 162 ms/frame on a v5e);
+    13 scalar gathers run at memory bandwidth."""
     keep = keep & store.valid
     n = store.capacity
     dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
@@ -142,13 +124,12 @@ def compact(store: SurfelStore, keep: jnp.ndarray) -> SurfelStore:
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     src = jnp.full((n,), jnp.int32(0)).at[dest].set(iota, mode="drop")
-    pk1, pk2 = _pack_rows(store)
-    r1 = jnp.take(pk1, src, axis=0)
-    r2 = jnp.take(pk2, src, axis=0)
     has = iota < new_count
-    r1 = jnp.where(has[:, None], r1, 0.0)
-    r2 = jnp.where(has[:, None], r2, 0.0)
-    return SurfelStore(count=new_count, valid=has, **_rows_to_fields(r1, r2))
+    out = {
+        f: jnp.where(has, jnp.take(getattr(store, f), src), 0.0)
+        for f in _FLOAT_FIELDS
+    }
+    return SurfelStore(count=new_count, valid=has, **out)
 
 
 def append(store: SurfelStore, new: SurfelStore, new_mask: jnp.ndarray) -> SurfelStore:
@@ -207,30 +188,33 @@ def expel_split(
     dest = jnp.where(taken, rank, block)
     n_ex = jnp.minimum(jnp.sum(expel.astype(jnp.int32)), block)
 
-    # inverse permutation into the block + two packed row-gathers (see compact)
+    # inverse permutation into the block + planar scalar gathers (see compact)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     src_b = jnp.full((block,), jnp.int32(0)).at[dest].set(iota, mode="drop")
-    pk1, pk2 = _pack_rows(store)
-    r1 = jnp.take(pk1, src_b, axis=0)
-    r2 = jnp.take(pk2, src_b, axis=0)
     has_b = jnp.arange(block) < n_ex
-    r1 = jnp.where(has_b[:, None], r1, 0.0)
-    r2 = jnp.where(has_b[:, None], r2, 0.0)
-    blk = SurfelStore(count=n_ex, valid=has_b, **_rows_to_fields(r1, r2))
+    out = {
+        f: jnp.where(has_b, jnp.take(getattr(store, f), src_b), 0.0)
+        for f in _FLOAT_FIELDS
+    }
+    blk = SurfelStore(count=n_ex, valid=has_b, **out)
     return compact(store, stay), blk
 
 
 def append_block(stable: SurfelStore, blk: SurfelStore) -> SurfelStore:
     """Append an expel block to the stable tier with ONE contiguous
-    dynamic-slice write per attribute (no scatter; a contiguous DMA).  When the
-    tier is full the write window clamps to the tail and the oldest tail rows
-    are overwritten (bounded loss, like the reference overrunning its
-    preallocated VBO, Model.cpp:92-98).  The stable tier's `valid` mask is
-    authoritative; `count` is the append cursor."""
+    dynamic-slice write per attribute (no scatter; a contiguous DMA).  The
+    tier is a ring: `count` is the monotone total-appended cursor, writes land
+    at count mod S, and on overflow the OLDEST rows are overwritten
+    round-robin (bounded loss, like the reference overrunning its preallocated
+    VBO, Model.cpp:92-98).  The per-row `valid` mask is authoritative for
+    reads; clip `count` to S for display."""
     S = stable.capacity
     B = blk.capacity
-    off = jnp.clip(stable.count, 0, S - B)
-    new_count = jnp.minimum(off + blk.count, S)
+    off_raw = jnp.mod(stable.count, S)
+    wrap = off_raw + B > S
+    base = jnp.where(wrap, stable.count - off_raw + S, stable.count)
+    off = jnp.mod(base, S)
+    new_count = base + blk.count
 
     out = {
         f: jax.lax.dynamic_update_slice_in_dim(

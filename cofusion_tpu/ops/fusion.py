@@ -166,32 +166,57 @@ def fuse(
         & frame.valid
     )
 
-    # --- association: +/-2 px window over the index render (data.vert:124-162)
+    # --- association: +/-2 px window over the index render (data.vert:124-162).
+    # Two-phase tap window (same pattern as rasterize.splat_from_imap): phase 1
+    # shifts ONE packed (H, W, 8) candidate image per tap and tracks only
+    # (best ray distance, winning tap id); phase 2 fetches the winner's surfel
+    # index with one flat gather.  The angle gate |acos(c)| < 0.5 is evaluated
+    # as c > cos(0.5) — same predicate, no transcendental per tap per pixel.
     xl = (x.astype(jnp.float32) - cam.cx) / cam.fx
     yl = (y.astype(jnp.float32) - cam.cy) / cam.fy
     lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
     ray = jnp.stack([xl, yl, jnp.ones_like(xl)], axis=-1)
+    cos_half = 0.8775825618903728  # cos(0.5 rad), data.vert:150
+
+    cand_pack = jnp.concatenate(
+        [
+            imap.vert_conf[..., :3],
+            imap.normal_rad[..., :3],
+            imap.valid[..., None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # (H, W, 7): candidate position, normal, validity
 
     best_dist = jnp.full((H, W), 1000.0)
-    best_idx = jnp.full((H, W), -1, jnp.int32)
+    best_tap = jnp.full((H, W), -1, jnp.int32)
     r = cfg.assoc_radius
+    k = 0
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
-            c_has = _shifted(imap.valid, dy, dx, False)
-            c_idx = _shifted(imap.index, dy, dx, -1)
-            c_vc = _shifted(imap.vert_conf, dy, dx)
-            c_nr = _shifted(imap.normal_rad, dy, dx)
-            zdiff = c_vc[..., 2] - z
+            g = _shifted(cand_pack, dy, dx, 0.0)
+            c_pos = g[..., 0:3]
+            c_nrm = g[..., 3:6]
+            c_has = g[..., 6] > 0.5
+            zdiff = c_pos[..., 2] - z
             depth_ok = jnp.abs(zdiff * lam) < 0.05
-            dist = jnp.linalg.norm(jnp.cross(ray, c_vc[..., :3]), axis=-1)
-            # normal conformance (data.vert:150): steep surfels must agree in angle
-            cosang = jnp.clip(
-                jnp.sum(c_nr[..., :3] * frame.normal, axis=-1), -1.0, 1.0
-            )
-            norm_ok = (jnp.abs(c_nr[..., 2]) < 0.75) | (jnp.abs(jnp.arccos(cosang)) < 0.5)
+            dist = jnp.linalg.norm(jnp.cross(ray, c_pos), axis=-1)
+            # normal conformance (data.vert:150): steep surfels must agree
+            cosang = jnp.sum(c_nrm * frame.normal, axis=-1)
+            norm_ok = (jnp.abs(c_nrm[..., 2]) < 0.75) | (cosang > cos_half)
             better = c_has & depth_ok & norm_ok & (dist < best_dist)
             best_dist = jnp.where(better, dist, best_dist)
-            best_idx = jnp.where(better, c_idx, best_idx)
+            best_tap = jnp.where(better, k, best_tap)
+            k += 1
+
+    side = 2 * r + 1
+    tap = jnp.maximum(best_tap, 0)
+    sy = jnp.clip(y + tap // side - r, 0, H - 1)
+    sx = jnp.clip(x + tap % side - r, 0, W - 1)
+    best_idx = jnp.where(
+        best_tap >= 0,
+        jnp.take(imap.index.reshape(-1), (sy * W + sx).reshape(-1)).reshape(H, W),
+        -1,
+    )
 
     merge = cand & (best_idx >= 0)
     new = cand & (best_idx < 0)
@@ -213,29 +238,20 @@ def fuse(
     }
 
     # --- update pass: scatter-accumulate into per-surfel accumulators.
-    # Row-packed: two row scatter-adds (8 + 4 channels) instead of 11 scalar
-    # scatter-adds — an 8-wide row scatter costs ~2.4x one scalar scatter on
-    # this hardware, so packing is ~3x cheaper overall.
+    # PLANAR on purpose: one bandwidth-speed scalar scatter-add per channel.
+    # Row-packed (n, C) accumulators look cheaper (fewer scatters) but reading
+    # them back requires minor-axis slices of beyond-VMEM arrays — a ~60x-
+    # bandwidth relayout per channel that dwarfs the scatters saved.
     n = store.capacity
     tgt = jnp.where(merge, best_idx, n).reshape(-1)
     a = jnp.where(merge, frame.conf, 0.0).reshape(-1)
 
-    upd1 = jnp.stack(
-        [a, a * w_cols["px"], a * w_cols["py"], a * w_cols["pz"],
-         a * w_cols["radius"], a * w_cols["cr"], a * w_cols["cg"], a * w_cols["cb"]],
-        axis=-1,
-    )
-    upd2 = jnp.stack(
-        [a * w_cols["nx"], a * w_cols["ny"], a * w_cols["nz"], a], axis=-1
-    )
-    acc1 = jnp.zeros((n, 8), jnp.float32).at[tgt].add(upd1, mode="drop")
-    acc2 = jnp.zeros((n, 4), jnp.float32).at[tgt].add(upd2, mode="drop")
-    sum_a = acc1[:, 0]
-    sums = {
-        "px": acc1[:, 1], "py": acc1[:, 2], "pz": acc1[:, 3],
-        "radius": acc1[:, 4], "cr": acc1[:, 5], "cg": acc1[:, 6], "cb": acc1[:, 7],
-        "nx": acc2[:, 0], "ny": acc2[:, 1], "nz": acc2[:, 2],
-    }
+    def acc(col):
+        return jnp.zeros((n,), jnp.float32).at[tgt].add(col, mode="drop")
+
+    sum_a = acc(a)
+    sums = {k: acc(a * w_cols[k]) for k in
+            ("px", "py", "pz", "radius", "cr", "cg", "cb", "nx", "ny", "nz")}
 
     hit = sum_a > 0
     a_tot = jnp.maximum(sum_a, 1e-12)
@@ -277,41 +293,33 @@ def fuse(
         last_time=jnp.where(hit, tf, store.last_time),
     )
 
-    # --- new unstable surfels: bounded append, row-packed (two row scatters
-    # instead of 13 scalar scatters; init_time == last_time == tf shares one
-    # channel)
+    # --- new unstable surfels: bounded append — one planar scalar scatter per
+    # attribute (see the update pass for why not row-packed)
     new_flat = new.reshape(-1)
     rank = jnp.cumsum(new_flat.astype(jnp.int32)) - 1
     dest = jnp.where(new_flat, store.count + rank, n)
     appended = jnp.sum(new_flat.astype(jnp.int32))
     new_count = jnp.minimum(store.count + appended, n)
 
-    conf_col = frame.conf.reshape(-1)
-    rowA = jnp.stack(
-        [w_cols["px"], w_cols["py"], w_cols["pz"], w_cols["radius"],
-         w_cols["cr"], w_cols["cg"], w_cols["cb"], conf_col],
-        axis=-1,
-    )
-    rowB = jnp.stack(
-        [w_cols["nx"], w_cols["ny"], w_cols["nz"], jnp.full((H * W,), tf)],
-        axis=-1,
-    )
-    oldA = jnp.stack(
-        [updated.px, updated.py, updated.pz, updated.radius,
-         updated.cr, updated.cg, updated.cb, updated.conf],
-        axis=-1,
-    )
-    oldB = jnp.stack(
-        [updated.nx, updated.ny, updated.nz, updated.init_time], axis=-1
-    )
-    outA = oldA.at[dest].set(rowA, mode="drop")
-    outB = oldB.at[dest].set(rowB, mode="drop")
+    tf_col = jnp.full((H * W,), tf)
+
+    def put(base, col):
+        return base.at[dest].set(col, mode="drop")
+
     return SurfelStore(
-        px=outA[:, 0], py=outA[:, 1], pz=outA[:, 2], radius=outA[:, 3],
-        cr=outA[:, 4], cg=outA[:, 5], cb=outA[:, 6], conf=outA[:, 7],
-        nx=outB[:, 0], ny=outB[:, 1], nz=outB[:, 2],
-        init_time=outB[:, 3],
-        last_time=updated.last_time.at[dest].set(jnp.full((H * W,), tf), mode="drop"),
+        px=put(updated.px, w_cols["px"]),
+        py=put(updated.py, w_cols["py"]),
+        pz=put(updated.pz, w_cols["pz"]),
+        nx=put(updated.nx, w_cols["nx"]),
+        ny=put(updated.ny, w_cols["ny"]),
+        nz=put(updated.nz, w_cols["nz"]),
+        cr=put(updated.cr, w_cols["cr"]),
+        cg=put(updated.cg, w_cols["cg"]),
+        cb=put(updated.cb, w_cols["cb"]),
+        radius=put(updated.radius, w_cols["radius"]),
+        conf=put(updated.conf, frame.conf.reshape(-1)),
+        init_time=put(updated.init_time, tf_col),
+        last_time=put(updated.last_time, tf_col),
         valid=jnp.arange(n) < new_count,
         count=new_count,
     )
@@ -363,41 +371,30 @@ def clean_eval(
 
     lin = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
 
-    # --- pre-combined flat pixel tables (image-scale, VMEM-resident).
-    # Channels packed per pixel so each window tap is ONE row-gather (an 8-wide
-    # row gather costs half of ONE scalar gather here; 5 scalar gathers per tap
-    # would be ~10x the traffic).  The reference's dup window is +/-1 px at
-    # half-pixel steps (copy_unstable.vert:76-78,87-88: windowMultiplier = 2,
-    # indexStep = 0.5 px) — 9 distinct texels, matching this 3x3 tap loop.
+    # --- pre-combined FLAT pixel tables (image-scale, VMEM-resident), one per
+    # channel.  Each window tap then costs a handful of bandwidth-speed SCALAR
+    # gathers; a packed (H*W, C) row table would make every tap's result an
+    # (N, C) array whose per-channel reads are minor-axis relayouts of a
+    # beyond-VMEM array (~60x bandwidth).  The reference's dup window is +/-1
+    # px at half-pixel steps (copy_unstable.vert:76-78,87-88:
+    # windowMultiplier = 2, indexStep = 0.5 px) — 9 distinct texels, matching
+    # this 3x3 tap loop.
     imap_has = imap.valid
     q_conf_ok = imap_has & (imap.vert_conf[..., 3] > conf_threshold)
     zq = imap.vert_conf[..., 2]
     # dup candidates: rendered, confident -> z; else -inf (kills every compare)
-    z_dup = jnp.where(q_conf_ok, zq, -jnp.inf)
+    z_dup = jnp.where(q_conf_ok, zq, -jnp.inf).reshape(-1)
     # z-dup additionally requires the rendered surfel updated THIS tick
-    z_zdup = jnp.where(q_conf_ok & (imap.last_time == time), zq, -jnp.inf)
-    it_q = jnp.where(imap_has, imap.color_time[..., 3], jnp.inf)
-    dup_tab = jnp.stack(
-        [z_dup, z_zdup, it_q, imap.vert_conf[..., 0], imap.vert_conf[..., 1]],
-        axis=-1,
-    ).reshape(H * W, 5)
-
-    # free-space violation row table: the surfel's whole 3x3 depth window plus
-    # the mask/center-depth channels in ONE row-gather
-    dwin = [
-        _shifted(depth_input, dy, dx, 0.0)
-        for dy in range(-1, 2)
-        for dx in range(-1, 2)
-    ]
-    mask_ch = (
-        mask.astype(jnp.float32) if mask is not None else jnp.zeros((H, W))
-    )
-    viol_tab = jnp.stack(dwin + [mask_ch], axis=-1).reshape(H * W, 10)
+    z_zdup = jnp.where(q_conf_ok & (imap.last_time == time), zq, -jnp.inf).reshape(-1)
+    it_q = jnp.where(imap_has, imap.color_time[..., 3], jnp.inf).reshape(-1)
+    qx_t = imap.vert_conf[..., 0].reshape(-1)
+    qy_t = imap.vert_conf[..., 1].reshape(-1)
 
     count = jnp.zeros((n,), jnp.int32)
     z_count = jnp.zeros((n,), jnp.int32)
 
     steep = jnp.abs(lnz) > 0.85
+    rad_gate = store.radius * 1.4
     for dy in range(-1, 2):
         for dx in range(-1, 2):
             off = dy * W + dx
@@ -405,22 +402,19 @@ def clean_eval(
                 (xi + dx < 0) | (xi + dx >= W) | (yi + dy < 0) | (yi + dy >= H)
             )
             ok_tap = ~oob & search_ok
-            row = jnp.take(dup_tab, jnp.clip(lin + off, 0, H * W - 1), axis=0)
-            zd = row[:, 0]
-            zz = row[:, 1]
-            it = row[:, 2]
-            qx = row[:, 3]
-            qy = row[:, 4]
+            li = jnp.clip(lin + off, 0, H * W - 1)
+            zd = jnp.take(z_dup, li)
+            zz = jnp.take(z_zdup, li)
+            it = jnp.take(it_q, li)
+            qx = jnp.take(qx_t, li)
+            qy = jnp.take(qy_t, li)
             # duplicate: older, confident, behind, close, within radius
             dup = (
                 ok_tap
                 & (it < store.init_time)
                 & (zd > zl)
                 & (zd - zl < 0.01)
-                & (
-                    jnp.sqrt((qx - lx) ** 2 + (qy - ly) ** 2)
-                    < store.radius * 1.4
-                )
+                & ((qx - lx) ** 2 + (qy - ly) ** 2 < rad_gate * rad_gate)
             )
             count = count + dup.astype(jnp.int32)
             zdup = (
@@ -432,21 +426,31 @@ def clean_eval(
             z_count = z_count + zdup.astype(jnp.int32)
 
     # free-space violation: 3x3 depth window, observed depth beyond surfel by
-    # >3cm — one row-gather of the precomputed window table
-    vrow = jnp.take(viol_tab, lin, axis=0)
+    # >3cm — per-tap scalar gathers of the shifted depth images
+    dwin_flat = [
+        _shifted(depth_input, dy, dx, 0.0).reshape(-1)
+        for dy in range(-1, 2)
+        for dx in range(-1, 2)
+    ]
     violations = jnp.zeros((n,), jnp.int32)
     viol_sum = jnp.zeros((n,), jnp.float32)
     for k, (dy, dx) in enumerate(
         (dy, dx) for dy in range(-1, 2) for dx in range(-1, 2)
     ):
         oob = (xi + dx < 0) | (xi + dx >= W) | (yi + dy < 0) | (yi + dy >= H)
-        d = vrow[:, k]
+        d = jnp.take(dwin_flat[k], lin)
         viol = search_ok & ~oob & (d - zl > 0.03) & (d > 0)
         violations = violations + viol.astype(jnp.int32)
         viol_sum = viol_sum + jnp.where(viol, d - zl, 0.0)
 
     keep = jnp.ones((n,), bool)
-    keep = keep & ~((count > 8) | (z_count > 4))
+    # Gate scaling: the reference samples 16 taps over ~9 distinct texels
+    # (copy_unstable.vert:76-113, windowMultiplier=2 at 0.5-px steps) and drops
+    # at count>8 (~half the window) / zCount>4 (~2 texels).  This loop visits
+    # the same 9 texels ONCE each, so the equivalent gates are count>4 (half of
+    # 9) and z_count>2 — with the reference's raw thresholds duplicate removal
+    # would require all 9 taps to agree and effectively never fire.
+    keep = keep & ~((count > 4) | (z_count > 2))
     age = time - store.last_time
     # degenerate / too unstable (copy_unstable.vert:134)
     drop_unstable = (age > 20) & (store.conf < conf_threshold)
@@ -462,10 +466,10 @@ def clean_eval(
         has_viol, store.conf / (1.0 + outlier_coeff * avg_viol), store.conf
     )
     if mask is not None:
-        # center depth is window channel (0,0) = 4; mask is channel 9 (both
-        # already in the gathered violation row — no extra gathers)
-        m_val = vrow[:, 9].astype(jnp.int32)
-        w_depth = vrow[:, 4]
+        # center depth is window tap (0,0) = index 4; mask is its own flat
+        # table — two more scalar gathers at the same indices
+        m_val = jnp.take(mask.reshape(-1), lin)
+        w_depth = jnp.take(dwin_flat[4], lin)
         mism = (
             has_viol
             & (m_val != mask_id)

@@ -208,7 +208,28 @@ def build_frame_pyramid(
     )
 
 
-def with_model_mask(frame: FramePyramid, mask_pyrs, model_id) -> FramePyramid:
+def mask_window_bounds(mask_pyrs):
+    """Shared per-level (min, max) of the int mask over the RGB-residual
+    window [y-2, y+1] x [x-2, x+1].  `_window_ok(mask == id)` for ANY id is
+    then just `(min == id) & (max == id)` — the 15 window shifts are computed
+    ONCE per level instead of once per model per level (out-of-bounds taps
+    fill with -1, which can never equal a mask id, reproducing
+    `_window_ok`'s fill=False)."""
+    out = []
+    for m in mask_pyrs:
+        mn, mx = m, m
+        for dy in range(-2, 2):
+            for dx in range(-2, 2):
+                if dy == 0 and dx == 0:
+                    continue
+                s = pp._shifted(m, dy, dx, fill=-1)
+                mn = jnp.minimum(mn, s)
+                mx = jnp.maximum(mx, s)
+        out.append((mn, mx))
+    return out
+
+
+def with_model_mask(frame: FramePyramid, mask_pyrs, model_id, bounds=None) -> FramePyramid:
     """Per-model mask gating applied to a SHARED frame pyramid (Co-Fusion's
     masked tracking, Segmentation-driven):
 
@@ -227,10 +248,20 @@ def with_model_mask(frame: FramePyramid, mask_pyrs, model_id) -> FramePyramid:
         frame.valid[lvl] & (mask_pyrs[lvl] == model_id)
         for lvl in range(len(frame.valid))
     )
-    rgb_oks = tuple(
-        frame.rgb_ok[lvl] & _window_ok(mask_pyrs[lvl] == model_id)
-        for lvl in range(len(frame.rgb_ok))
-    )
+    if bounds is not None:
+        # shared precomputed window bounds (see mask_window_bounds): the
+        # 15-shift erosion collapses to two integer compares per model
+        rgb_oks = tuple(
+            frame.rgb_ok[lvl]
+            & (bounds[lvl][0] == model_id)
+            & (bounds[lvl][1] == model_id)
+            for lvl in range(len(frame.rgb_ok))
+        )
+    else:
+        rgb_oks = tuple(
+            frame.rgb_ok[lvl] & _window_ok(mask_pyrs[lvl] == model_id)
+            for lvl in range(len(frame.rgb_ok))
+        )
     return frame._replace(valid=valids, rgb_ok=rgb_oks)
 
 
@@ -502,6 +533,371 @@ def _rgb_terms(resultRt, frame, model, lvl, cam_l, params, rgb_only,
     return A, b, sigma, count, tmp_error
 
 
+# ---------------------------------------------------------------------------
+# batched-model-axis term builders (one program for all M models)
+#
+# The per-model GN solves are independent, and at 640x480 each solver pass is
+# dominated by per-kernel fixed overhead, not bandwidth — running M models
+# UNROLLED multiplies the pass count by M (measured 106 ms for 4 models vs
+# 37 ms for 1).  Folding the model axis INTO each pass keeps the pass count
+# constant.  The fold is manual: gathers use flat indices with the model id
+# folded in (a vmapped gather lowers to XLA's batched form, ~100x off the TPU
+# fast path — CLAUDE.md), reductions become one batched MXU dot_general, and
+# everything else broadcasts.
+
+
+def _rotate_bm(R: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(M, 3, 3) rotations applied to (M, h, w, 3) or SHARED (h, w, 3) points."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+
+    def c(i, j):
+        return R[:, i, j][:, None, None]
+
+    return jnp.stack(
+        [
+            c(0, 0) * x + c(0, 1) * y + c(0, 2) * z,
+            c(1, 0) * x + c(1, 1) * y + c(1, 2) * z,
+            c(2, 0) * x + c(2, 1) * y + c(2, 2) * z,
+        ],
+        axis=-1,
+    )
+
+
+def _reduce_system_b(rows: jnp.ndarray, found: jnp.ndarray):
+    """(M, h, w, 7) rows -> per-model (A (M,6,6), b (M,6), err (M,), count (M,)):
+    ONE batched MXU dot_general instead of M separate reductions."""
+    rows = jnp.where(found[..., None], rows, 0.0)
+    flat = rows.reshape(rows.shape[0], -1, rows.shape[-1])
+    Mm = jax.lax.dot_general(
+        flat, flat, (((1,), (1,)), ((0,), (0,))),
+        precision=_HI, preferred_element_type=jnp.float32,
+    )
+    count = jnp.sum(found.astype(jnp.float32), axis=(1, 2))
+    return Mm[:, :6, :6], Mm[:, :6, 6], Mm[:, 6, 6], count
+
+
+def _icp_terms_b(Rcurr, tcurr, Rprev_inv, tprev, vm_c, nm_c, f_ok_b, icp_pack,
+                 cam_l, params, stride: int = 1):
+    """Batched _icp_terms: poses (M, ...), frame geometry SHARED (h, w, 3),
+    per-model validity f_ok_b (M, h, w), model pack (M, Hl*Wl, 8)."""
+    H, W = cam_l.height, cam_l.width
+    if stride > 1:
+        vm_c = vm_c[::stride, ::stride]
+        nm_c = nm_c[::stride, ::stride]
+        f_ok_b = f_ok_b[:, ::stride, ::stride]
+    M = Rcurr.shape[0]
+    t_b = tcurr[:, None, None, :]
+    vcurr_g = _rotate_bm(Rcurr, vm_c) + t_b
+    vcurr_cp = _rotate_bm(Rprev_inv, vcurr_g - tprev[:, None, None, :])
+    z = vcurr_cp[..., 2]
+    zs = jnp.where(z == 0, 1.0, z)
+    u = jnp.round(vcurr_cp[..., 0] * cam_l.fx / zs + cam_l.cx).astype(jnp.int32)
+    v = jnp.round(vcurr_cp[..., 1] * cam_l.fy / zs + cam_l.cy).astype(jnp.int32)
+    inb = (u >= 0) & (v >= 0) & (u < W) & (v < H) & (z > 0)
+
+    # ONE flat row-gather for all models: model id folds into the row index
+    lin = jnp.clip(v, 0, H - 1) * W + jnp.clip(u, 0, W - 1)
+    lin = lin + (jnp.arange(M, dtype=jnp.int32) * (H * W))[:, None, None]
+    rows_m = jnp.take(icp_pack.reshape(M * H * W, 8), lin.reshape(-1), axis=0).reshape(
+        lin.shape + (8,)
+    )
+    vprev_g = rows_m[..., 0:3]
+    nprev_g = rows_m[..., 3:6]
+    m_ok = rows_m[..., 6] > 0.5
+
+    ncurr_g = _rotate_bm(Rcurr, nm_c)
+    diff = vprev_g - vcurr_g
+    dist = jnp.linalg.norm(diff, axis=-1)
+    sine = jnp.linalg.norm(jnp.cross(ncurr_g, nprev_g), axis=-1)
+    found = (
+        f_ok_b & inb & m_ok
+        & (sine < params.angle_thresh_sin)
+        & (dist <= params.dist_thresh)
+    )
+
+    s_cp = _rotate_bm(Rprev_inv, vcurr_g - tprev[:, None, None, :])
+    d_cp = _rotate_bm(Rprev_inv, vprev_g - tprev[:, None, None, :])
+    n_cp = _rotate_bm(Rprev_inv, nprev_g)
+    r = jnp.sum(n_cp * (s_cp - d_cp), axis=-1)
+    rows = jnp.concatenate([n_cp, jnp.cross(s_cp, n_cp), r[..., None]], axis=-1)
+    A, b, err, count = _reduce_system_b(rows, found)
+    dist_map = jnp.where(f_ok_b & inb & m_ok & jnp.isfinite(dist), dist, 0.0)
+    return A, b, err, count, dist_map
+
+
+def _rgb_terms_b(resultRt, frame, rgb_ok_b, rgb_pack, lvl, cam_l, params,
+                 rgb_only, stride: int = 1):
+    """Batched _rgb_terms: resultRt (M, 4, 4), shared frame images, per-model
+    photometric gate rgb_ok_b (M, Hl, Wl) (strided internally like the rest),
+    model pack (M, Hl*Wl, 2)."""
+    H, W = frame.intensity[lvl].shape
+    M = resultRt.shape[0]
+    K = jnp.array(
+        [[cam_l.fx, 0.0, cam_l.cx], [0.0, cam_l.fy, cam_l.cy], [0.0, 0.0, 1.0]], jnp.float32
+    )
+    Kinv = jnp.array(
+        [
+            [1.0 / cam_l.fx, 0.0, -cam_l.cx / cam_l.fx],
+            [0.0, 1.0 / cam_l.fy, -cam_l.cy / cam_l.fy],
+            [0.0, 0.0, 1.0],
+        ],
+        jnp.float32,
+    )
+    Rt = lie.invert_rt(resultRt)                       # (M, 4, 4)
+    krkinv = jnp.einsum(
+        "ij,mjk,kl->mil", K, Rt[:, :3, :3], Kinv, precision=_HI
+    )
+    kt = jnp.einsum("ij,mj->mi", K, Rt[:, :3, 3], precision=_HI)
+
+    s = stride
+    Hs, Ws = (H + s - 1) // s, (W + s - 1) // s
+    x = jax.lax.broadcasted_iota(jnp.float32, (Hs, Ws), 1) * s
+    y = jax.lax.broadcasted_iota(jnp.float32, (Hs, Ws), 0) * s
+    d1 = frame.depth[lvl][::s, ::s]
+    cur_i = frame.intensity[lvl][::s, ::s]
+    rgb_ok_s = rgb_ok_b[:, ::s, ::s]
+
+    min_scale = (params.min_grad_mags[lvl] ** 2) / (params.sobel_scale**2)
+    didx, didy = frame.didx[lvl][::s, ::s], frame.didy[lvl][::s, ::s]
+    grad_ok = (didx * didx + didy * didy) >= min_scale
+
+    def kc(i, j):
+        return krkinv[:, i, j][:, None, None]
+
+    td1 = d1 * (kc(2, 0) * x + kc(2, 1) * y + kc(2, 2)) + kt[:, 2][:, None, None]
+    td1_safe = jnp.where(td1 == 0, 1.0, td1)
+    u0 = jnp.round(
+        (d1 * (kc(0, 0) * x + kc(0, 1) * y + kc(0, 2)) + kt[:, 0][:, None, None]) / td1_safe
+    ).astype(jnp.int32)
+    v0 = jnp.round(
+        (d1 * (kc(1, 0) * x + kc(1, 1) * y + kc(1, 2)) + kt[:, 1][:, None, None]) / td1_safe
+    ).astype(jnp.int32)
+    inb = (u0 >= 0) & (v0 >= 0) & (u0 < W) & (v0 < H)
+
+    lin0 = jnp.clip(v0, 0, H - 1) * W + jnp.clip(u0, 0, W - 1)
+    lin0 = lin0 + (jnp.arange(M, dtype=jnp.int32) * (H * W))[:, None, None]
+    rows_m = jnp.take(rgb_pack.reshape(M * H * W, 2), lin0.reshape(-1), axis=0).reshape(
+        lin0.shape + (2,)
+    )
+    d0 = rows_m[..., 0]
+    last_i = rows_m[..., 1]
+    found = (
+        rgb_ok_s & grad_ok & (d1 > 0) & inb & (d0 > 0)
+        & (jnp.abs(td1 - d0) <= params.max_depth_delta_rgb)
+        & (last_i > 0)
+    )
+    diff = cur_i - last_i
+    sigma = jnp.sum(jnp.where(found, diff * diff, 0.0), axis=(1, 2))
+    count = jnp.sum(found.astype(jnp.float32), axis=(1, 2))
+    tmp_error = jnp.sqrt(sigma) / jnp.maximum(count, 1.0)
+    sigma_val = jnp.where(tmp_error == 0, 1.0, count)[:, None, None]
+
+    if rgb_only:
+        w = jnp.ones_like(diff)
+    else:
+        wden = sigma_val + jnp.abs(diff)
+        w = jnp.where(wden > 1.19209290e-07, 1.0 / wden, 1.0)
+
+    cz = d0
+    cx_ = (u0.astype(jnp.float32) - cam_l.cx) / cam_l.fx * d0
+    cy_ = (v0.astype(jnp.float32) - cam_l.cy) / cam_l.fy * d0
+    invz = 1.0 / jnp.where(cz == 0, 1.0, cz)
+    dIdx_v = w * params.sobel_scale * didx
+    dIdy_v = w * params.sobel_scale * didy
+    r0 = dIdx_v * cam_l.fx * invz
+    r1 = dIdy_v * cam_l.fy * invz
+    r2 = -(r0 * cx_ + r1 * cy_) * invz
+    r3 = -cz * r1 + cy_ * r2
+    r4 = cz * r0 - cx_ * r2
+    r5 = -cy_ * r0 + cx_ * r1
+    r6 = -w * diff
+    rows = jnp.stack([r0, r1, r2, r3, r4, r5, r6], axis=-1)
+    A, b, err, _ = _reduce_system_b(rows, found)
+    return A, b, sigma, count, tmp_error
+
+
+def track_models(
+    poses: jnp.ndarray,
+    frame: FramePyramid,
+    valid_b: tuple,
+    rgb_ok_b: tuple,
+    model_b: ModelPyramid,
+    so3_ref_intensity: jnp.ndarray,
+    cam: CameraConfig,
+    cfg: CoFusionConfig,
+    params: TrackingParams,
+) -> OdometryResult:
+    """All M models' full GN solves as ONE batched program (see the section
+    comment above for why this beats unrolling ~Mx).
+
+    `poses` (M, 4, 4); `frame` is the SHARED unmasked FramePyramid;
+    `valid_b` / `rgb_ok_b` are per-level (M, Hl, Wl) mask-gated validity (the
+    only per-model frame state); `model_b` is a ModelPyramid whose leaves have
+    a leading (M,) axis (vmapped build_model_pyramid).  The SO(3) pre-align
+    runs ONCE — its inputs (coarse intensities) are unmasked and therefore
+    identical across models (RGBDOdometry.cpp:239-310 runs per model on the
+    same images).  Returns an OdometryResult with (M, ...) leaves."""
+    M = poses.shape[0]
+    use_icp = not params.rgb_only
+    use_rgb = params.rgb_only or params.icp_weight < 100
+
+    tprev = poses[:, :3, 3]
+    Rprev_inv = jnp.swapaxes(poses[:, :3, :3], 1, 2)
+
+    levels = cfg.pyramid_levels
+    top = levels - 1
+    if cfg.use_so3 and use_rgb:
+        R_so3, so3_err = _so3_prealign(
+            so3_ref_intensity, frame.intensity[top], cam.at_level(top), cfg.so3_iters
+        )
+    else:
+        R_so3, so3_err = jnp.eye(3, dtype=jnp.float32), jnp.float32(0.0)
+
+    resultRt0 = jnp.tile(
+        lie.make_rt(R_so3, jnp.zeros(3, jnp.float32))[None], (M, 1, 1)
+    )
+
+    if cfg.fast_odom:
+        iters = (3, 0, 0)
+    else:
+        iters = tuple(
+            n if (lvl == 0 or cfg.use_pyramid) else 0 for lvl, n in enumerate(cfg.gn_iters)
+        )
+
+    zM = jnp.zeros((M,), jnp.float32)
+    zero6 = jnp.zeros((M, 6), jnp.float32)
+    zero66 = jnp.zeros((M, 6, 6), jnp.float32)
+    stats0 = dict(
+        A=zero66, b=zero6,
+        icp_err=zM, icp_cnt=zM, rgb_err=zM, rgb_cnt=zM,
+        last_rgb_err=jnp.full((M,), 3.4e38, jnp.float32),
+        stopped=jnp.zeros((M,), bool),
+    )
+    carry = (resultRt0, stats0)
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+
+    for lvl in range(levels - 1, -1, -1):
+        cam_l = cam.at_level(lvl)
+        n_it = iters[lvl]
+        if n_it == 0:
+            continue
+
+        def body(j, carry, lvl=lvl, cam_l=cam_l):
+            resultRt, st = carry
+            currentT = lie.compose(poses, lie.invert_rt(resultRt))
+            Rcurr = currentT[:, :3, :3]
+            tcurr = currentT[:, :3, 3]
+            stride = cfg.gn_stride_l0 if lvl == 0 else 1
+
+            if use_rgb:
+                A_rgb, b_rgb, sigma, rgb_cnt, rgb_err = _rgb_terms_b(
+                    resultRt, frame, rgb_ok_b[lvl], model_b.rgb_pack[lvl],
+                    lvl, cam_l, params, params.rgb_only, stride=stride,
+                )
+            else:
+                A_rgb, b_rgb = zero66, zero6
+                rgb_cnt, rgb_err = zM, zM
+
+            if use_icp:
+                A_icp, b_icp, icp_err_sq, icp_cnt, _ = _icp_terms_b(
+                    Rcurr, tcurr, Rprev_inv, tprev, frame.vmap[lvl],
+                    frame.nmap[lvl], valid_b[lvl], model_b.icp_pack[lvl],
+                    cam_l, params, stride=stride,
+                )
+                icp_err = jnp.sqrt(icp_err_sq) / jnp.maximum(icp_cnt, 1.0)
+            else:
+                A_icp, b_icp = zero66, zero6
+                icp_err, icp_cnt = zM, zM
+
+            if use_icp and use_rgb:
+                w = params.icp_weight
+                A = A_rgb + (w * w) * A_icp
+                b = b_rgb + (w * w if params.consistent_icp_weighting else w) * b_icp
+            elif use_icp:
+                A, b = A_icp, b_icp
+            else:
+                A, b = A_rgb, b_rgb
+
+            stop_now = st["stopped"] | (
+                jnp.bool_(params.rgb_only) & (rgb_err > st["last_rgb_err"])
+            )
+
+            xi = jnp.linalg.solve(A + 1e-12 * eye6[None], b[..., None])[..., 0]
+            ok = (
+                jnp.all(jnp.isfinite(xi), axis=-1)
+                & ((icp_cnt + rgb_cnt) >= params.min_correspondences)
+                & (jnp.linalg.norm(xi[:, :3], axis=-1) < params.max_translation_jump)
+                & ~stop_now
+            )
+            xi = jnp.where(ok[:, None], xi, 0.0)
+            resultRt_new = lie.compose(lie.se3_exp_rt(xi), resultRt)
+
+            okA = ok[:, None, None]
+            st_new = dict(
+                A=jnp.where(okA, A, st["A"]),
+                b=jnp.where(ok[:, None], b, st["b"]),
+                icp_err=jnp.where(stop_now, st["icp_err"], icp_err),
+                icp_cnt=jnp.where(stop_now, st["icp_cnt"], icp_cnt),
+                rgb_err=jnp.where(stop_now, st["rgb_err"], rgb_err),
+                rgb_cnt=jnp.where(stop_now, st["rgb_cnt"], rgb_cnt),
+                last_rgb_err=jnp.where(stop_now, st["last_rgb_err"], rgb_err),
+                stopped=stop_now,
+            )
+            return (jnp.where(stop_now[:, None, None], resultRt, resultRt_new), st_new)
+
+        carry = jax.lax.fori_loop(0, n_it, body, carry)
+
+    resultRt, st = carry
+    currentT = lie.compose(poses, lie.invert_rt(resultRt))
+
+    if use_rgb:
+        jumped = (
+            jnp.linalg.norm(currentT[:, :3, 3] - tprev, axis=-1)
+            > params.max_translation_jump
+        )
+        currentT = jnp.where(jumped[:, None, None], poses, currentT)
+
+    return OdometryResult(
+        pose=currentT,
+        A=st["A"],
+        b=st["b"],
+        icp_error=st["icp_err"],
+        icp_count=st["icp_cnt"],
+        rgb_error=st["rgb_err"],
+        rgb_count=st["rgb_cnt"],
+        so3_error=jnp.broadcast_to(so3_err, (M,)),
+    )
+
+
+def icp_error_maps_b(
+    poses_new: jnp.ndarray,
+    poses_prev: jnp.ndarray,
+    vmap_c: jnp.ndarray,
+    nmap_c: jnp.ndarray,
+    valid_c: jnp.ndarray,
+    model_b: ModelPyramid,
+    cam: CameraConfig,
+    params: TrackingParams,
+    stride: int = 1,
+) -> jnp.ndarray:
+    """Batched icp_error_map_ungated: (M, H, W) CRF error surfaces in one pass
+    (shared ungated frame validity — see icp_error_map_ungated's docstring)."""
+    M = poses_new.shape[0]
+    f_ok_b = jnp.broadcast_to(valid_c[None], (M,) + valid_c.shape)
+    _, _, _, _, dist_map = _icp_terms_b(
+        poses_new[:, :3, :3], poses_new[:, :3, 3],
+        jnp.swapaxes(poses_prev[:, :3, :3], 1, 2), poses_prev[:, :3, 3],
+        vmap_c, nmap_c, f_ok_b, model_b.icp_pack[0],
+        cam.at_level(0), params, stride=stride,
+    )
+    if stride > 1:
+        H, W = vmap_c.shape[:2]
+        dist_map = jnp.repeat(
+            jnp.repeat(dist_map, stride, axis=1), stride, axis=2
+        )[:, :H, :W]
+    return dist_map
+
+
 def icp_error_map_ungated(
     pose_new: jnp.ndarray,
     pose_prev: jnp.ndarray,
@@ -511,6 +907,7 @@ def icp_error_map_ungated(
     model: ModelPyramid,
     cam: CameraConfig,
     params: TrackingParams,
+    stride: int = 1,
 ) -> jnp.ndarray:
     """Full-frame per-pixel ICP error at the final pose, WITHOUT mask gating.
 
@@ -520,6 +917,11 @@ def icp_error_map_ungated(
     their labels; the reference avoids this because its vmap mask gate is
     disabled (cudafuncs.cu:119 FIXME) so the global error surface covers all
     pixels.  This pass reproduces that coverage deliberately.
+
+    `stride`: compute the error on a strided pixel subset and nearest-fill
+    back to full resolution (TPU-first divergence: the CRF consumes 16x16
+    superpixel MEANS of this map, for which a 2x2-strided sample is
+    statistically identical at a quarter the cost).
     """
     frame = FramePyramid(
         vmap=(vmap_c,), nmap=(nmap_c,), valid=(valid_c,),
@@ -529,8 +931,13 @@ def icp_error_map_ungated(
     tprev = pose_prev[:3, 3]
     _, _, _, _, dist_map = _icp_terms(
         pose_new[:3, :3], pose_new[:3, 3], Rprev_inv, tprev, frame, model, 0,
-        cam.at_level(0), params,
+        cam.at_level(0), params, stride=stride,
     )
+    if stride > 1:
+        H, W = vmap_c.shape[:2]
+        dist_map = jnp.repeat(
+            jnp.repeat(dist_map, stride, axis=0), stride, axis=1
+        )[:H, :W]
     return dist_map
 
 

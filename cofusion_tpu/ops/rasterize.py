@@ -138,8 +138,6 @@ def _zkey_bits(capacity: int) -> int:
     the cost."""
     idx_bits = max(1, (capacity - 1).bit_length())
     zbits = 31 - idx_bits
-    if zbits < 8:
-        raise ValueError(f"capacity {capacity} leaves only {zbits} z bits")
     return zbits
 
 
@@ -147,14 +145,29 @@ def _zbuffer(lin, ok, z, idx_dim, n_buckets, capacity, max_depth):
     """Single-pass packed-key z-buffer: one int32 scatter-min of
     (quantized_z << idx_bits) | idx.  `lin` already carries the fold of any
     batch axes; entries with ~ok must equal n_buckets (dropped).  Returns the
-    winner surfel index per bucket (capacity = no winner)."""
+    winner surfel index per bucket (capacity = no winner).
+
+    Capacities beyond 2^23 (the reference's own 3072^2 = 9.4M scale,
+    Model.cpp:92-98) leave < 8 z-quantization bits in an int32 key; those fall
+    back to a two-pass form — float32 z scatter-min, then an index scatter-min
+    restricted to entries matching the winning depth (ties break to the
+    smaller index, same determinism) — at ~2x the scatter cost."""
     idx_bits = max(1, (capacity - 1).bit_length())
     zbits = _zkey_bits(capacity)
+    idx = jax.lax.broadcasted_iota(jnp.int32, lin.shape, idx_dim)
+    if zbits < 8:
+        zm = jnp.where(ok, z, jnp.inf)
+        zbuf = jnp.full((n_buckets,), jnp.inf).at[lin.reshape(-1)].min(
+            zm.reshape(-1), mode="drop"
+        )
+        win = ok & (z <= jnp.take(zbuf, jnp.clip(lin, 0, n_buckets - 1)))
+        return jnp.full((n_buckets,), capacity, jnp.int32).at[lin.reshape(-1)].min(
+            jnp.where(win, idx, capacity).reshape(-1), mode="drop"
+        )
     zscale = jnp.float32((1 << zbits) - 1)
     zq = jnp.clip(
         (z / jnp.maximum(max_depth, 1e-6)) * zscale, 0.0, zscale
     ).astype(jnp.int32)
-    idx = jax.lax.broadcasted_iota(jnp.int32, lin.shape, idx_dim)
     key = (zq << idx_bits) | idx
     init = jnp.int32(2147483647)
     kbuf = jnp.full((n_buckets,), init).at[lin.reshape(-1)].min(
@@ -165,23 +178,30 @@ def _zbuffer(lin, ok, z, idx_dim, n_buckets, capacity, max_depth):
 
 
 def _gather_channels(store, lx, ly, lz, lnx, lny, lnz, i0, has, out_shape):
-    """Gather the rendered surfel's attributes per pixel via TWO packed
-    row-gathers (an 8-float row gather costs half of ONE scalar gather on this
-    hardware — 13 scalar takes would cost ~13x more) and unpack at image scale
-    (VMEM-resident, cheap)."""
-    pk1 = jnp.stack([lx, ly, lz, store.conf, lnx, lny, lnz, store.radius], axis=-1)
-    pk2 = jnp.stack(
-        [store.cr, store.cg, store.cb, store.init_time, store.last_time], axis=-1
-    )
-    r1 = jnp.take(pk1, i0, axis=0).reshape(out_shape + (8,))
-    r2 = jnp.take(pk2, i0, axis=0).reshape(out_shape + (5,))
+    """Gather the rendered surfel's attributes per pixel: one bandwidth-speed
+    SCALAR gather per channel from the planar (N,) arrays, stacked at IMAGE
+    scale where relayouts are VMEM-cheap.
+
+    Packing the channels into (N, C) row tables first is a trap at store
+    scale: the pack itself is a minor-axis relayout of a beyond-VMEM array
+    (~60x bandwidth; it made the 4-model batched render cost 27 ms on a v5e
+    vs ~4 ms planar), costing far more than the 13 scalar gathers it saves."""
+    def g(a):
+        return jnp.take(a, i0, axis=0).reshape(out_shape)
+
     hasx = has.reshape(out_shape)
+    hx = hasx[..., None]
+    vert_conf = jnp.stack([g(lx), g(ly), g(lz), g(store.conf)], axis=-1)
+    normal_rad = jnp.stack([g(lnx), g(lny), g(lnz), g(store.radius)], axis=-1)
+    color_time = jnp.stack(
+        [g(store.cr), g(store.cg), g(store.cb), g(store.init_time)], axis=-1
+    )
     return IndexMap(
         index=jnp.where(hasx, i0.reshape(out_shape), -1),
-        vert_conf=jnp.where(hasx[..., None], r1[..., 0:4], 0.0),
-        normal_rad=jnp.where(hasx[..., None], r1[..., 4:8], 0.0),
-        color_time=jnp.where(hasx[..., None], r2[..., 0:4], 0.0),
-        last_time=jnp.where(hasx, r2[..., 4], 0.0),
+        vert_conf=jnp.where(hx, vert_conf, 0.0),
+        normal_rad=jnp.where(hx, normal_rad, 0.0),
+        color_time=jnp.where(hx, color_time, 0.0),
+        last_time=jnp.where(hasx, g(store.last_time), 0.0),
         valid=hasx,
     )
 
@@ -272,14 +292,32 @@ def predict_indices_b(
     has = ibuf < N
     i0 = jnp.where(has, ibuf, 0)
 
-    maps = [
-        _gather_channels(
-            jax.tree.map(lambda a: a[m] if getattr(a, "ndim", 0) >= 1 else a, store),
-            lx[m], ly[m], lz[m], lnx[m], lny[m], lnz[m], i0[m], has[m], (H, W),
-        )
-        for m in range(M)
-    ]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *maps)
+    # attribute fetch: ONE flat scalar gather per channel for ALL models (the
+    # model index folds into the flat source index; an (M, N) leaf reshaped to
+    # (M*N,) is contiguous, i.e. free) — see _gather_channels for why planar
+    # gathers beat packed row tables at this scale
+    gi = (
+        jax.lax.broadcasted_iota(jnp.int32, (M, H * W), 0) * N + i0
+    ).reshape(-1)
+
+    def g(a):
+        return jnp.take(a.reshape(-1), gi).reshape(M, H, W)
+
+    hasx = has.reshape(M, H, W)
+    hx = hasx[..., None]
+    vert_conf = jnp.stack([g(lx), g(ly), g(lz), g(store.conf)], axis=-1)
+    normal_rad = jnp.stack([g(lnx), g(lny), g(lnz), g(store.radius)], axis=-1)
+    color_time = jnp.stack(
+        [g(store.cr), g(store.cg), g(store.cb), g(store.init_time)], axis=-1
+    )
+    return IndexMap(
+        index=jnp.where(hasx, i0.reshape(M, H, W), -1),
+        vert_conf=jnp.where(hx, vert_conf, 0.0),
+        normal_rad=jnp.where(hx, normal_rad, 0.0),
+        color_time=jnp.where(hx, color_time, 0.0),
+        last_time=jnp.where(hasx, g(store.last_time), 0.0),
+        valid=hasx,
+    )
 
 
 def splat_from_imap(imap: IndexMap, cam: CameraConfig, cfg: CoFusionConfig) -> SplatMap:
@@ -290,7 +328,7 @@ def splat_from_imap(imap: IndexMap, cam: CameraConfig, cfg: CoFusionConfig) -> S
     |t l - p_s|^2 <= radius^2, z-test on (t l).z.  Static shifts over VMEM-
     resident images — vmap-safe."""
     H, W = cam.height, cam.width
-    last_t = imap.last_time
+    from cofusion_tpu.ops.preprocess import _shifted
 
     u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
@@ -300,33 +338,30 @@ def splat_from_imap(imap: IndexMap, cam: CameraConfig, cfg: CoFusionConfig) -> S
     l = jnp.stack([lx / lnorm, ly / lnorm, 1.0 / lnorm], axis=-1)
 
     r = cfg.splat_radius
+    # two-phase tap window (instead of selecting ~8 attribute channels per
+    # tap): phase 1 shifts ONE packed (H, W, 8) geometry image per tap and
+    # tracks only (best_z, winning tap id); phase 2 fetches the winner's full
+    # attributes with a handful of flat gathers.  Cuts the per-tap pass count
+    # ~4x (measured 11 ms -> ~3 ms for the 4-model window at radius 3).
+    geo = jnp.concatenate(
+        [
+            imap.vert_conf[..., :3],
+            imap.normal_rad[..., :4],
+            imap.valid[..., None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # (H, W, 8): pos, normal, radius, valid
+
     best_z = jnp.full((H, W), jnp.inf)
-    best = {
-        "pos": jnp.zeros((H, W, 3)),
-        "conf": jnp.zeros((H, W)),
-        "normal": jnp.zeros((H, W, 3)),
-        "radius": jnp.zeros((H, W)),
-        "color": jnp.zeros((H, W, 3)),
-        "itime": jnp.zeros((H, W)),
-        "ltime": jnp.zeros((H, W)),
-    }
-
-    def shift(a, dy, dx, fill=0.0):
-        from cofusion_tpu.ops.preprocess import _shifted
-
-        return _shifted(a, dy, dx, fill)
-
+    best_tap = jnp.full((H, W), -1, jnp.int32)
+    k = 0
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
-            cand_ok = shift(imap.valid, dy, dx, False)
-            cpos = shift(imap.vert_conf[..., :3], dy, dx)
-            cconf = shift(imap.vert_conf[..., 3], dy, dx)
-            cnorm = shift(imap.normal_rad[..., :3], dy, dx)
-            crad = shift(imap.normal_rad[..., 3], dy, dx)
-            ccol = shift(imap.color_time[..., :3], dy, dx)
-            citime = shift(imap.color_time[..., 3], dy, dx)
-            cltime = shift(last_t, dy, dx)
-
+            g = _shifted(geo, dy, dx, 0.0)
+            cpos = g[..., 0:3]
+            cnorm = g[..., 3:6]
+            crad = g[..., 6]
+            cand_ok = g[..., 7] > 0.5
             ln = jnp.sum(l * cnorm, axis=-1)
             t = jnp.sum(cpos * cnorm, axis=-1) / jnp.where(jnp.abs(ln) < 1e-12, 1.0, ln)
             hit = t[..., None] * l
@@ -340,29 +375,44 @@ def splat_from_imap(imap: IndexMap, cam: CameraConfig, cfg: CoFusionConfig) -> S
                 & (zhit < best_z)
             )
             best_z = jnp.where(good, zhit, best_z)
-            gb = good[..., None]
-            best["pos"] = jnp.where(gb, hit, best["pos"])
-            best["conf"] = jnp.where(good, cconf, best["conf"])
-            best["normal"] = jnp.where(gb, cnorm, best["normal"])
-            best["radius"] = jnp.where(good, crad, best["radius"])
-            best["color"] = jnp.where(gb, ccol, best["color"])
-            best["itime"] = jnp.where(good, citime, best["itime"])
-            best["ltime"] = jnp.where(good, cltime, best["ltime"])
+            best_tap = jnp.where(good, k, best_tap)
+            k += 1
 
-    valid = jnp.isfinite(best_z)
+    valid = best_tap >= 0
+    side = 2 * r + 1
+    tap = jnp.maximum(best_tap, 0)
+    sy = jnp.clip(
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) + tap // side - r, 0, H - 1
+    )
+    sx = jnp.clip(
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) + tap % side - r, 0, W - 1
+    )
+    src = (sy * W + sx).reshape(-1)
+
+    def gf(ch):
+        return jnp.take(ch.reshape(-1), src).reshape(H, W)
+
+    conf = jnp.where(valid, gf(imap.vert_conf[..., 3]), 0.0)
+    nx_ = jnp.where(valid, gf(imap.normal_rad[..., 0]), 0.0)
+    ny_ = jnp.where(valid, gf(imap.normal_rad[..., 1]), 0.0)
+    nz_ = jnp.where(valid, gf(imap.normal_rad[..., 2]), 0.0)
+    rad = jnp.where(valid, gf(imap.normal_rad[..., 3]), 0.0)
+    col = jnp.stack(
+        [jnp.where(valid, gf(imap.color_time[..., c]), 0.0) for c in range(3)],
+        axis=-1,
+    )
+    ltime = jnp.where(valid, gf(imap.last_time), 0.0)
+
     # reference reconstructs the vertex from the corrected depth along the pixel
     # ray (combo_splat.frag:53-55)
     z = jnp.where(valid, best_z, 0.0)
     vx = (u - cam.cx) * z / cam.fx
     vy = (v - cam.cy) * z / cam.fy
-    vert = jnp.stack([vx, vy, z], axis=-1)
     return SplatMap(
-        image=jnp.where(valid[..., None], best["color"], 0.0),
-        vert_conf=jnp.concatenate([vert, best["conf"][..., None]], axis=-1),
-        normal_rad=jnp.concatenate(
-            [jnp.where(valid[..., None], best["normal"], 0.0), best["radius"][..., None]], axis=-1
-        ),
-        time=best["ltime"],
+        image=col,
+        vert_conf=jnp.stack([vx, vy, z, conf], axis=-1),
+        normal_rad=jnp.stack([nx_, ny_, nz_, rad], axis=-1),
+        time=ltime,
         valid=valid,
     )
 

@@ -163,6 +163,20 @@ def downsample_mean(
     return means, cnt
 
 
+def downsample_mean_b(imgs: jnp.ndarray, assign: jnp.ndarray, K: int) -> jnp.ndarray:
+    """Batched superpixel means of (M, H, W) images -> (M, K).  NOT a vmap of
+    `downsample_mean`: a vmapped scatter lowers to XLA's batched-scatter form,
+    ~2 orders of magnitude off the TPU fast path (the same measured cliff as
+    the batched render) — instead the model index folds into the flat bucket
+    index so the accumulation stays ONE plain 1D scatter-add."""
+    M = imgs.shape[0]
+    flat_assign = (assign[None] + jnp.arange(M)[:, None, None] * K).reshape(-1)
+    vals = imgs.reshape(-1)
+    cnt = jnp.zeros((M * K,), jnp.float32).at[flat_assign].add(1.0)
+    sums = jnp.zeros((M * K,), jnp.float32).at[flat_assign].add(vals)
+    return (sums / jnp.maximum(cnt, 1.0)).reshape(M, K)
+
+
 def upsample(values: jnp.ndarray, assign: jnp.ndarray) -> jnp.ndarray:
     """Per-superpixel values -> full-res (Slic::upsample, nearest)."""
     return jnp.take(values, assign.reshape(-1), axis=0).reshape(assign.shape + values.shape[1:])
@@ -280,8 +294,8 @@ def perform_segmentation_crf(
 
     low_rgb, _ = downsample_mean(rgb.astype(jnp.float32), assign, K)
     low_depth, _ = downsample_mean(depth, assign, K, min_threshold=0.02)
-    low_err = jax.vmap(lambda e: downsample_mean(e, assign, K)[0])(icp_errors)  # (M,K)
-    low_conf = jax.vmap(lambda c: downsample_mean(c, assign, K)[0])(confidences)
+    low_err = downsample_mean_b(icp_errors, assign, K)   # (M, K)
+    low_conf = downsample_mean_b(confidences, assign, K)
 
     dok = (low_depth > 0) & (low_depth < MAX_DEPTH)
     dmin = jnp.min(jnp.where(dok, low_depth, jnp.inf))
@@ -456,6 +470,12 @@ class GtMaskMapper:
 
     def __init__(self):
         self.mapping: dict[int, int] = {0: 0}
+
+    def purge_slot(self, slot: int) -> None:
+        """Drop every dataset-id mapping targeting a freed slot so a recycled
+        slot never inherits a dead object's ids (the reference instead hands
+        out fresh sequential ids, CoFusion.cpp:628-644)."""
+        self.mapping = {k: v for k, v in self.mapping.items() if v != slot}
 
     def remap(self, mask_np, free_slots: list[int], allow_new: bool):
         """Returns (slot mask uint8, newly_assigned slot | None)."""
