@@ -130,6 +130,11 @@ class CoFusionConfig:
     dtype: str = "float32"
     # on-device pose-history capacity (frames); wraps around beyond this
     max_log_frames: int = 8192
+    # on-device segmentation-mask ring (frames): '-es'/'-el' exports drain it
+    # in BULK every ~ring capacity instead of one blocking device->host mask
+    # read per frame (a 34 ms tunnel round-trip on this platform that alone
+    # caps exports at ~30 FPS)
+    mask_ring_frames: int = 64
 
     @property
     def max_new_surfels(self) -> int:

@@ -85,6 +85,9 @@ class EngineState(NamedTuple):
     fern_db: object             # FernDB | int placeholder (relocalization off)
     lost: jnp.ndarray           # () bool — tracking-lost flag (CoFusion.cpp:301-338)
     unstable_count: jnp.ndarray  # () int32 consecutive high-covariance frames
+    mask_history: jnp.ndarray   # (R, H, W) uint8 segmentation ring — '-es'
+    #   exports drain it in bulk (one transfer per R frames) so the async host
+    #   loop never blocks on a per-frame mask readback
 
 
 class FrameOutputs(NamedTuple):
@@ -142,6 +145,17 @@ class CoFusion:
         self._gt_mapper = GtMaskMapper()
         self._used_slots: set[int] = {0}
         self._ever_active: set[int] = {0}
+        # host mirror of per-slot consecutive-unseen counts (GT-mask mode slot
+        # recycling; the CRF path reads the device's `active` flags instead)
+        self._host_unseen: dict[int, int] = {}
+        # model lifecycle listeners (addNewModelListener /
+        # addInactiveModelListener, CoFusion.h:286-289; fired with the slot id
+        # instead of a Model handle — use download_model(slot) for the data).
+        # CRF-mode events fire at the periodic active-flag sync (<=4 frames
+        # late), keeping the host loop async; GT-mask events fire immediately.
+        self._new_model_listeners: list = []
+        self._inactive_model_listeners: list = []
+        self._active_snapshot: set[int] = {0}
         self._last_segmentation: np.ndarray | None = None
         self._last_outputs = None
         # host mirror of the device's spawn_cooldown counter: the GT-mask path
@@ -152,9 +166,11 @@ class CoFusion:
         # frame because it records the mapping only when allowNew is true,
         # Segmentation.cpp:86-90 + CoFusion.cpp:112)
         self._host_cooldown = 0
-        # when True (set by the CLI for -es), the CRF segmentation is pulled to
-        # the host EVERY frame so exported masks are never stale
-        self.sync_segmentation = False
+        # True once the GT-mask path has produced a host-side remapped mask —
+        # current_segmentation() then serves it for free instead of reading back
+        self._seg_from_host = False
+        # frames whose masks were already pulled from the device mask ring
+        self._masks_drained = 0
         # pose-history chunks flushed to host before the device ring wraps
         self._flushed_poses: list[np.ndarray] = []
         from cofusion_tpu.config import SegmentationParams
@@ -245,6 +261,9 @@ class CoFusion:
             fern_db=fern_db,
             lost=jnp.bool_(False),
             unstable_count=jnp.int32(0),
+            mask_history=jnp.zeros(
+                (cfg.mask_ring_frames,) + cam.shape, jnp.uint8
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -285,7 +304,13 @@ class CoFusion:
             new_slot = -1
             mask_np = frame.get("mask")
             use_crf = False
-            if self.enable_multi_model and mask_np is not None:
+            if gt_pose is not None:
+                # '-p': the reference skips segmentation entirely under inPose
+                # (CoFusion.cpp:340-343) — committing a mask-id->slot mapping
+                # here would consume ids for models that never spawn and
+                # permanently exclude their pixels from background fusion
+                mask = jnp.zeros(self.cam.shape, jnp.int32)
+            elif self.enable_multi_model and mask_np is not None:
                 # ground-truth mask path: remap dataset ids -> model slots
                 # (Segmentation.cpp:59-122; the persistent `mapping` vector).
                 # allow_new mirrors the device's spawn_cooldown gate so the
@@ -300,8 +325,32 @@ class CoFusion:
                     new_slot = assigned
                     self._used_slots.add(assigned)
                     self._ever_active.add(assigned)
+                    for fn in self._new_model_listeners:
+                        fn(assigned)
                 self._last_segmentation = slot_mask
+                self._seg_from_host = True
                 mask = jnp.asarray(slot_mask, jnp.int32)
+                # host mirror of the device's unseen-deactivation
+                # (CoFusion.cpp:284-291): slots whose mask id vanished for
+                # model_deactivate_count consecutive frames are freed for
+                # reuse and their stale dataset-id mappings purged — the
+                # reference supports 256 SEQUENTIAL ids (:628-644), so the
+                # number of objects over a run must not be capped at
+                # max_models-1 concurrent slots
+                present = {int(v) for v in np.unique(slot_mask)}
+                for s in sorted(self._used_slots):
+                    if s == 0 or s == assigned:
+                        continue
+                    if s in present:
+                        self._host_unseen[s] = 0
+                    else:
+                        self._host_unseen[s] = self._host_unseen.get(s, 0) + 1
+                        if self._host_unseen[s] >= self.fusion.model_deactivate_count:
+                            self._used_slots.discard(s)
+                            self._host_unseen.pop(s, None)
+                            self._gt_mapper.purge_slot(s)
+                            for fn in self._inactive_model_listeners:
+                                fn(s)
             elif self.enable_multi_model:
                 # motion-cue CRF path: device-side segmentation; the host only
                 # nominates which free slot a new model would occupy
@@ -326,6 +375,7 @@ class CoFusion:
                         self.enable_multi_model and not use_crf and mask_np is not None
                     ),
                     spawn_offset=jnp.int32(self.fusion.model_spawn_offset),
+                    conf_object=jnp.float32(self.fusion.confidence_object),
                     deactivate_count=jnp.int32(self.fusion.model_deactivate_count),
                     fern_min_age=jnp.int32(self.fusion.fern_min_age),
                     fern_icp_thresh=jnp.float32(self.fusion.fern_icp_error_thresh),
@@ -357,21 +407,28 @@ class CoFusion:
             # device spawns/kills models autonomously) — one small blocking read
             if use_crf:
                 self._frames_since_sync += 1
-                if self._frames_since_sync >= 4 or self.sync_segmentation:
-                    active = np.asarray(self.state.models.active)
-                    for s in range(1, self.cfg.max_models):
-                        if active[s]:
-                            self._used_slots.add(s)
-                            self._ever_active.add(s)
                 if self._frames_since_sync >= 4:
                     self._frames_since_sync = 0
-                if self.sync_segmentation:
-                    # -es export: materialize THIS frame's segmentation (the
-                    # reference writes the current mask every frame,
-                    # CoFusion.cpp:235-240)
-                    self._last_segmentation = np.asarray(self.state.prev_mask).astype(np.uint8)
-                elif self._frames_since_sync == 0:
-                    self._last_segmentation = np.asarray(self.state.prev_mask).astype(np.uint8)
+                    active = np.asarray(self.state.models.active)
+                    now = {0} | {
+                        s for s in range(1, self.cfg.max_models) if active[s]
+                    }
+                    for s in sorted(now - self._active_snapshot):
+                        self._ever_active.add(s)
+                        for fn in self._new_model_listeners:
+                            fn(s)
+                    for s in sorted(self._active_snapshot - now):
+                        for fn in self._inactive_model_listeners:
+                            fn(s)
+                    self._active_snapshot = now
+                    # recycle dead slots (the device resets a recycled slot's
+                    # store/pose/threshold on spawn): without this the TOTAL
+                    # object count per run would be capped at max_models-1
+                    # (the reference supports 256 sequential ids,
+                    # CoFusion.cpp:628-644).  `new_slot` nominations between
+                    # syncs stay safe — spawn_cooldown (22 frames) blocks a
+                    # re-spawn into a just-filled slot before the next sync.
+                    self._used_slots = set(now)
 
             # flush the on-device pose-history ring to the host before it wraps
             # (sequences longer than max_log_frames would otherwise silently
@@ -392,6 +449,31 @@ class CoFusion:
         for i in range(len(self._flushed_poses) + 1, n_tracked + 1):
             self._flushed_poses.append(hist[i % cap].copy())
 
+    def drain_segmentation(self, flush: bool = False) -> list[tuple[int, np.ndarray]]:
+        """Pull newly available segmentation masks from the on-device ring.
+
+        Returns [(tick, mask uint8 (H,W)), ...] for frames not yet drained.
+        Masks live in `state.mask_history` (written by `_step` at slot
+        (tick-1) % R) and come back in ONE bulk transfer every ~R frames, so
+        '-es' exports never serialize the async loop with a per-frame readback
+        (the reference writes the mask texture every frame, CoFusion.cpp:235-240;
+        a per-frame device->host sync costs ~34 ms through the axon tunnel).
+        Call every frame (usually returns []); pass flush=True at end of run.
+        """
+        out: list[tuple[int, np.ndarray]] = []
+        n_tracked = len(self._timestamps) - 1
+        pending = n_tracked - self._masks_drained
+        R = self.cfg.mask_ring_frames
+        if pending <= 0 or (not flush and pending < R - 4):
+            return out
+        hist = np.asarray(self.state.mask_history)
+        start = max(self._masks_drained + 1, n_tracked - R + 1)
+        for i in range(start, n_tracked + 1):
+            # frame i was processed at tick i+1; _step wrote slot ((i+1)-1) % R
+            out.append((i + 1, hist[i % R].copy()))
+        self._masks_drained = n_tracked
+        return out
+
     def stats(self) -> dict:
         """Materialize the most recent frame's outputs (blocks on the device).
 
@@ -404,7 +486,10 @@ class CoFusion:
                 "tick": int(self.state.tick),
                 "poses": np.asarray(self.state.models.pose),
                 "surfel_counts": np.asarray(self.state.models.store.count)
-                + np.asarray(self.state.models.stable.count),
+                + np.minimum(
+                    np.asarray(self.state.models.stable.count),
+                    self.state.models.stable.capacity,
+                ),
                 "active": np.asarray(self.state.models.active),
             }
             if out is not None:
@@ -477,11 +562,29 @@ class CoFusion:
 
     # ------------------------------------------------------------------
     def current_segmentation(self) -> np.ndarray | None:
-        """Most recent segmentation mask (model ids per pixel) for -es export."""
-        return self._last_segmentation
+        """Most recent segmentation mask (model ids per pixel).
+
+        GT-mask mode serves the host-built remap for free; CRF mode blocks on
+        one device readback — bulk exports should use `drain_segmentation`
+        instead (no per-frame sync)."""
+        if self._seg_from_host or self.state is None:
+            return self._last_segmentation
+        return np.asarray(self.state.prev_mask).astype(np.uint8)
 
     def model_ever_active(self, m: int) -> bool:
         return m in self._ever_active
+
+    # -- model lifecycle listeners (CoFusion.h:286-289) -----------------
+    def add_new_model_listener(self, fn) -> None:
+        """fn(slot: int) on model spawn (newModelListeners, CoFusion.cpp:607).
+        CRF-mode events arrive at the active-flag sync cadence (<=4 frames
+        late) so the async loop never blocks; GT-mask events are immediate."""
+        self._new_model_listeners.append(fn)
+
+    def add_inactive_model_listener(self, fn) -> None:
+        """fn(slot: int) on model deactivation (inactiveModelListeners,
+        CoFusion.cpp:624)."""
+        self._inactive_model_listeners.append(fn)
 
     def pose_log_for(self, m: int) -> list[tuple[int, np.ndarray]]:
         """Pose log in the reference's export convention (CoFusion.cpp:502-519):
@@ -501,8 +604,9 @@ class CoFusion:
         return np.asarray(self.state.models.pose[0])
 
     def surfel_count(self, model: int = 0) -> int:
-        return int(self.state.models.store.count[model]) + int(
-            self.state.models.stable.count[model]
+        return int(self.state.models.store.count[model]) + min(
+            int(self.state.models.stable.count[model]),
+            self.state.models.stable.capacity,
         )
 
     def download_model(self, model: int = 0) -> dict:
@@ -606,56 +710,68 @@ def _step(
         mask_pyrs = [track_mask]
         for _ in range(cfg.pyramid_levels - 1):
             mask_pyrs.append(pp.pyr_down_nearest(mask_pyrs[-1]))
+        # the 15-shift RGB-window erosion is shared across models (two integer
+        # compares per model instead of 15 shifts x levels x models)
+        mask_bounds = od.mask_window_bounds(mask_pyrs)
     else:
         mask_pyrs = None
+        mask_bounds = None
 
-    # --- track: UNROLLED over the static model axis, with the whole
-    # per-model pipeline (model pyramid build + GN solve + CRF error map)
-    # inside ONE lax.cond — inactive slots skip all of it at runtime ---------
-    def track_branch(op):
-        pose_m, model_id_m, vert, norm, valid, image = op
-        fp = (
-            od.with_model_mask(frame_pyr, mask_pyrs, model_id_m)
-            if multi else frame_pyr
-        )
-        mpyr = od.build_model_pyramid(
-            vert, norm, valid, pp.rgb_to_intensity(image), pose_m, cam, cfg,
+    # --- track: ALL models in ONE batched program (od.track_models).  The
+    # model axis folds into every pass — gathers flat-indexed, reductions one
+    # batched MXU dot_general.  Unrolled per-model tracking at 640x480 is
+    # dominated by per-pass fixed overhead (measured 106 ms for 4 models vs
+    # 37 ms for 1); batching keeps the pass count constant in M.  Inactive
+    # slots compute too (empty predictions -> zero correspondences -> pose
+    # unchanged) — the north-star workload runs every slot live anyway.
+    mpyr_b = jax.vmap(
+        lambda vert, norm, ok, image, pose_m: od.build_model_pyramid(
+            vert, norm, ok, pp.rgb_to_intensity(image), pose_m, cam, cfg,
             tparams.max_depth_rgb,
         )
-        r = od.get_incremental_transformation(
-            pose_m, fp, mpyr, state.so3_ref, cam, cfg, tparams
+    )(pred_vert, pred_norm, pred_valid, pred_image, models.pose)
+    if multi:
+        ids3 = models.model_id[:, None, None]
+        valid_b = tuple(
+            frame_pyr.valid[l][None] & (mask_pyrs[l][None] == ids3)
+            for l in range(cfg.pyramid_levels)
         )
-        if use_crf:
-            err_map = od.icp_error_map_ungated(
-                r.pose, pose_m, frame_pyr.vmap[0], frame_pyr.nmap[0],
-                frame_pyr.valid[0], mpyr, cam, tparams,
-            )
-        else:
-            err_map = jnp.zeros(cam.shape, jnp.float32)
-        return r, err_map
-
-    def idle_branch(op):
-        pose_m = op[0]
-        z = jnp.float32(0)
-        r = od.OdometryResult(
-            pose=pose_m, A=jnp.eye(6, dtype=jnp.float32),
-            b=jnp.zeros((6,), jnp.float32),
-            icp_error=z, icp_count=z, rgb_error=z, rgb_count=z, so3_error=z,
+        rgb_ok_b = tuple(
+            frame_pyr.rgb_ok[l][None]
+            & (mask_bounds[l][0][None] == ids3)
+            & (mask_bounds[l][1][None] == ids3)
+            for l in range(cfg.pyramid_levels)
         )
-        return r, jnp.zeros(cam.shape, jnp.float32)
-
-    res_list, err_list = [], []
-    for m in range(M):
-        op = (
-            models.pose[m], models.model_id[m], pred_vert[m], pred_norm[m],
-            pred_valid[m], pred_image[m],
+    else:
+        valid_b = tuple(v[None] for v in frame_pyr.valid)
+        rgb_ok_b = tuple(v[None] for v in frame_pyr.rgb_ok)
+    res = od.track_models(
+        models.pose, frame_pyr, valid_b, rgb_ok_b, mpyr_b, state.so3_ref,
+        cam, cfg, tparams,
+    )
+    # inactive slots keep their pose and report identity/zero stats (parity
+    # with the old per-slot idle branch)
+    act = models.active
+    act3 = act[:, None, None]
+    res = od.OdometryResult(
+        pose=jnp.where(act3, res.pose, models.pose),
+        A=jnp.where(act3, res.A, jnp.eye(6, dtype=jnp.float32)[None]),
+        b=jnp.where(act[:, None], res.b, 0.0),
+        icp_error=jnp.where(act, res.icp_error, 0.0),
+        icp_count=jnp.where(act, res.icp_count, 0.0),
+        rgb_error=jnp.where(act, res.rgb_error, 0.0),
+        rgb_count=jnp.where(act, res.rgb_count, 0.0),
+        so3_error=jnp.where(act, res.so3_error, 0.0),
+    )
+    new_pose = res.pose
+    if use_crf:
+        seg_err_maps = od.icp_error_maps_b(
+            new_pose, models.pose, frame_pyr.vmap[0], frame_pyr.nmap[0],
+            frame_pyr.valid[0], mpyr_b, cam, tparams, stride=cfg.gn_stride_l0,
         )
-        r_m, e_m = jax.lax.cond(models.active[m], track_branch, idle_branch, op)
-        res_list.append(r_m)
-        err_list.append(e_m)
-    res = jax.tree.map(lambda *xs: jnp.stack(xs), *res_list)
-    new_pose = jnp.where(models.active[:, None, None], res.pose, models.pose)
-    seg_err_maps = jnp.stack(err_list)
+        seg_err_maps = jnp.where(act3, seg_err_maps, 0.0)
+    else:
+        seg_err_maps = jnp.zeros((M,) + cam.shape, jnp.float32)
 
     # --- segmentation + model lifecycle (multi-model) ---------------------
     # Two sources of the per-pixel model mask (Segmentation::performSegmentation):
@@ -729,10 +845,35 @@ def _step(
         active_fuse = models.active
         new_active = models.active
         has_new = jnp.bool_(False)
+        is_new_slot = jnp.zeros((M,), bool)
         model_max_depth = jnp.full((M,), fparams["depth_cutoff"])
         wmult = jnp.full((M,), fparams["weight_multiplier"])
         new_unseen = models.unseen
         new_cooldown = models.spawn_cooldown
+
+    # --- model-slot recycling (spawnObjectModel, CoFusion.cpp:588-597): a
+    # freshly spawned slot starts EMPTY with the CURRENT camera pose and the
+    # initial object confidence threshold.  A recycled slot (a dead model's)
+    # would otherwise leak its leftover surfels, raised threshold and stale
+    # pose into the new object.  Clearing the valid masks + counts suffices —
+    # every pass gates on them — so the reset costs two bool-mask writes, not
+    # a full-array zero.
+    models_store = models.store
+    models_stable = models.stable
+    if multi:
+        rs = is_new_slot
+        models_store = models_store._replace(
+            valid=models_store.valid & ~rs[:, None],
+            count=jnp.where(rs, 0, models_store.count),
+        )
+        models_stable = models_stable._replace(
+            valid=models_stable.valid & ~rs[:, None],
+            count=jnp.where(rs, 0, models_stable.count),
+        )
+        new_pose = jnp.where(rs[:, None, None], new_pose[0][None], new_pose)
+        new_conf_threshold = jnp.where(
+            rs, fparams["conf_object"], new_conf_threshold
+        )
 
     # --- relocalization (use_reloc = '-rl'; CoFusion.cpp:301-338 + Ferns) --
     if use_reloc:
@@ -816,6 +957,13 @@ def _step(
         fern_src, fern_tgt, fern_ok = fern_ops.sample_constraints(
             fern_db, vm_s, new_pose[0], est_pose, fparams["depth_cutoff"]
         )
+        # the matched keyframe's tick: fern-sourced deformation constraints are
+        # anchored at the KEYFRAME's srcTime (Deformation.cpp:75-180) so the
+        # graph's time-based node association pulls the OLD geometry toward the
+        # corrected pose, not the newest nodes
+        fern_time = jnp.take(
+            fern_db.src_time, jnp.clip(match.keyframe, 0, fern_db.codes.shape[0] - 1)
+        ).astype(jnp.float32)
 
         recover = lost & good
         new_pose = new_pose.at[0].set(jnp.where(recover, est_pose, new_pose[0]))
@@ -835,16 +983,17 @@ def _step(
 
     # --- local loop closure + deformation (global model; CoFusion.cpp:387-459,
     # gated off by default like the reference's assert(0)-dead path) ---------
-    stores_in = models.store
-    stables_in = models.stable
+    stores_in = models_store
+    stables_in = models_stable
     loop_accepted = jnp.bool_(False)
     loop_deformed = jnp.bool_(False)
+    pose_history_in = state.pose_history
     if close_loops:
         from cofusion_tpu.ops import deformation as df
         from cofusion_tpu.ops import local_loop as ll
 
-        store0 = jax.tree.map(lambda a: a[0], models.store)
-        stable0 = jax.tree.map(lambda a: a[0], models.stable)
+        store0 = jax.tree.map(lambda a: a[0], models_store)
+        stable0 = jax.tree.map(lambda a: a[0], models_stable)
         pose0 = new_pose[0]
         conf0 = models.conf_threshold[0]
         # ACTIVE prediction at the POST-tracking pose (the reference refreshes
@@ -895,13 +1044,18 @@ def _step(
         loop_accepted = is_fern | local_accept
 
         def do_deform(operand):
-            store, stable, est_pose = operand
+            store, stable, est_pose, hist = operand
             # graph nodes must span the WHOLE map's time range (the reference
             # samples time-sequentially over all surfels, Deformation.cpp:207):
             # stable tier first (old times), then the active tier
             union = sm.concat_stores(stable, store)
             graph = df.sample_graph(union, cfg.deform_nodes)
-            src_times = jnp.full((C,), tickf)
+            # fern constraints anchor at the matched KEYFRAME's srcTime so the
+            # time-kNN node association pulls the old geometry; local-loop
+            # constraints are current-time (Deformation.cpp:75-180)
+            src_times = jnp.where(
+                is_fern, fern_time if use_reloc else tickf, tickf
+            ) * jnp.ones((C,), jnp.float32)
             graph_opt, err = df.optimize(graph, cons_src, src_times, cons_tgt, cons_ok)
             mce = df.mean_constraint_error(graph_opt, cons_src, src_times, cons_tgt, cons_ok)
             # fern matches take the reference's meanConsError gate
@@ -933,16 +1087,31 @@ def _step(
             out_s = jax.tree.map(
                 lambda new, old: jnp.where(ok, new, old), stable_new, stable
             )
-            return out_a, out_s, ok
+            # pose-HISTORY correction (applyGraphToPoses,
+            # DeformationGraph.cpp:89-116): every camera pose already logged is
+            # warped through the optimized graph, so '-ep' exports a trajectory
+            # the closure actually healed, not just a corrected final pose.
+            # Ring slot j's latest stored tick is (tick-1) - ((tick-2-j) mod
+            # cap); unwritten/overwritten slots warp to junk but are never
+            # read (materialized_pose_log only reads live, unflushed entries).
+            cap_h = cfg.max_log_frames
+            j = jnp.arange(cap_h, dtype=jnp.int32)
+            hist_t = ((tick - 1) - jnp.mod(tick - 2 - j, cap_h)).astype(jnp.float32)
+            hist0_w = df.apply_to_poses(graph_opt, hist[:, 0], hist_t)
+            hist_out = jnp.where(
+                ok, hist.at[:, 0].set(hist0_w), hist
+            )
+            return out_a, out_s, ok, hist_out
 
         def no_deform(operand):
-            store, stable, _ = operand
-            return store, stable, jnp.bool_(False)
+            store, stable, _, hist = operand
+            return store, stable, jnp.bool_(False), hist
 
         # lax.cond: the deformation solve (dense GN over 12*deform_nodes vars +
         # full-map warp + tier exchange) only executes on accepted loop closures
-        store0_new, stable0_new, loop_deformed = jax.lax.cond(
-            loop_accepted, do_deform, no_deform, (store0, stable0, est_loop)
+        store0_new, stable0_new, loop_deformed, pose_history_in = jax.lax.cond(
+            loop_accepted, do_deform, no_deform,
+            (store0, stable0, est_loop, state.pose_history),
         )
         apply_loop = loop_accepted & loop_deformed
         new_pose = new_pose.at[0].set(
@@ -952,17 +1121,20 @@ def _step(
             lambda all_m, one: all_m.at[0].set(
                 jnp.where(apply_loop, one, all_m[0])
             ),
-            models.store, store0_new,
+            models_store, store0_new,
         )
         stables_in = jax.tree.map(
             lambda all_m, one: all_m.at[0].set(
                 jnp.where(apply_loop, one, all_m[0])
             ),
-            models.stable, stable0_new,
+            models_stable, stable0_new,
         )
 
     # --- fuse + clean -----------------------------------------------------
-    weight = jax.vmap(_fusion_weight)(new_pose, models.pose, wmult)
+    # a just-spawned slot has no meaningful previous pose: treat it as
+    # motionless (its velocity fusion weight is the wmult=100 bootstrap)
+    prev_pose_eff = jnp.where(is_new_slot[:, None, None], new_pose, models.pose)
+    weight = jax.vmap(_fusion_weight)(new_pose, prev_pose_eff, wmult)
     new_stores, new_stables = _fuse_clean_all(
         stores_in, stables_in, new_pose, weight, models.model_id,
         models.conf_threshold, active_fuse, model_max_depth, depth, filtered,
@@ -977,11 +1149,11 @@ def _step(
         store=new_stores,
         stable=new_stables,
         pose=new_pose,
-        prev_pose=models.pose,
+        prev_pose=prev_pose_eff,
         conf_threshold=new_conf_threshold,
         max_depth=model_max_depth,
         active=new_active,
-        age=models.age + new_active.astype(jnp.int32),
+        age=jnp.where(is_new_slot, 0, models.age) + new_active.astype(jnp.int32),
         model_id=models.model_id,
         unseen=new_unseen,
         spawn_cooldown=new_cooldown,
@@ -994,17 +1166,21 @@ def _step(
         prev_rgb=rgb,
         prev_filtered=filtered,
         prev_mask=mask,
-        pose_history=state.pose_history.at[(tick - 1) % cfg.max_log_frames].set(new_pose),
+        pose_history=pose_history_in.at[(tick - 1) % cfg.max_log_frames].set(new_pose),
         fern_db=fern_db,
         lost=lost,
         unstable_count=unstable_count,
+        mask_history=state.mask_history.at[(tick - 1) % cfg.mask_ring_frames].set(
+            mask.astype(jnp.uint8)
+        ),
     )
     outputs = FrameOutputs(
         poses=new_pose,
         icp_error=res.icp_error,
         icp_count=res.icp_count,
         rgb_error=res.rgb_error,
-        surfel_counts=new_stores.count + new_stables.count,
+        surfel_counts=new_stores.count
+        + jnp.minimum(new_stables.count, new_stables.capacity),
         active=new_active,
         spawned=has_new,
         loop_closed=loop_accepted & loop_deformed,
@@ -1076,7 +1252,15 @@ def _append_expel_blocks(stables, blks, cfg):
     dynamic-slice writes (unrolled over the static model axis: a vmapped
     dynamic_update_slice would lower to a scatter over the whole (M, S, ...)
     array — exactly the beyond-VMEM random-access path the two-tier design
-    exists to avoid)."""
+    exists to avoid).
+
+    The tier is a RING: `count` is the monotone total-ever-appended cursor and
+    the write offset is count mod S.  When the remaining tail is smaller than
+    one block the cursor skips to the next S boundary (losing < B tail rows of
+    capacity once, keeping every write a static contiguous slice), so on
+    overflow the OLDEST stable surfels are overwritten round-robin — not the
+    same tail window every frame.  The per-row `valid` mask stays
+    authoritative for reads; display code clips `count` to S."""
     M = int(stables.count.shape[0])
     S = int(stables.capacity)
     B = int(cfg.expel_block)
@@ -1085,7 +1269,11 @@ def _append_expel_blocks(stables, blks, cfg):
     counts = []
     for m in range(M):
         n_ex = blks.count[m]
-        off = jnp.clip(stables.count[m], 0, S - B)
+        cursor = stables.count[m]
+        off_raw = jnp.mod(cursor, S)
+        wrap = off_raw + B > S
+        base = jnp.where(wrap, cursor - off_raw + S, cursor)
+        off = jnp.mod(base, S)
         write = n_ex > 0
         for f in data_fields:
             leaf = leaves[f]
@@ -1099,7 +1287,7 @@ def _append_expel_blocks(stables, blks, cfg):
                 jnp.reshape(write, (1,) * leaf.ndim), blk_rows, cur
             )
             leaves[f] = jax.lax.dynamic_update_slice(leaf, rows, start)
-        counts.append(jnp.where(write, jnp.minimum(off + n_ex, S), stables.count[m]))
+        counts.append(jnp.where(write, base + n_ex, cursor))
     return SurfelStore(count=jnp.stack(counts), **leaves)
 
 
@@ -1148,6 +1336,9 @@ def _step_gt_pose(
         fern_db=state.fern_db,
         lost=state.lost,
         unstable_count=state.unstable_count,
+        mask_history=state.mask_history.at[(tick - 1) % cfg.mask_ring_frames].set(
+            mask.astype(jnp.uint8)
+        ),
     )
     zm = jnp.zeros((M,), jnp.float32)
     outputs = FrameOutputs(
@@ -1155,7 +1346,8 @@ def _step_gt_pose(
         icp_error=zm,
         icp_count=zm,
         rgb_error=zm,
-        surfel_counts=new_stores.count + new_stables.count,
+        surfel_counts=new_stores.count
+        + jnp.minimum(new_stables.count, new_stables.capacity),
         active=models.active,
         spawned=jnp.bool_(False),
         loop_closed=jnp.bool_(False),

@@ -283,6 +283,27 @@ def refresh_timestamps(
     return store._replace(last_time=jnp.where(bump, tf, store.last_time))
 
 
+def apply_to_poses(
+    graph: DeformationGraph, poses: jnp.ndarray, times: jnp.ndarray
+) -> jnp.ndarray:
+    """Warp a whole pose log through the graph (applyGraphToPoses,
+    DeformationGraph.cpp:89-116): each pose's translation is warped like a
+    point at its own timestamp, its rotation blended from the k
+    nearest-in-time nodes and re-orthonormalized by SVD.  `poses` (P, 4, 4),
+    `times` (P,) — one batched pass over the on-device pose-history ring at
+    loop-closure cadence."""
+    p = poses[:, :3, 3]
+    new_p = warp_points(graph, p, times)
+    nidx, w = _knn_time_weights(graph, p, times)
+    Rj = jnp.take(graph.R, nidx, axis=0)                      # (P, k, 3, 3)
+    Rmix = jnp.sum(w[:, :, None, None] * Rj, axis=1)
+    R = jnp.einsum("pij,pjk->pik", Rmix, poses[:, :3, :3], precision=_HI)
+    u, _, vt = jnp.linalg.svd(R)
+    Ro = jnp.einsum("pij,pjk->pik", u, vt, precision=_HI)
+    out = jnp.broadcast_to(jnp.eye(4, dtype=poses.dtype), poses.shape)
+    return out.at[:, :3, :3].set(Ro).at[:, :3, 3].set(new_p)
+
+
 def apply_to_pose(graph: DeformationGraph, pose: jnp.ndarray, pose_time) -> jnp.ndarray:
     """Warp a camera pose by its nearest-in-time node (applyGraphToPoses,
     DeformationGraph.cpp:89-116) with SVD re-orthonormalization."""

@@ -64,5 +64,6 @@ def shard_engine_state(state, mesh: Mesh):
         fern_db=fern_sh,
         lost=rep,
         unstable_count=rep,
+        mask_history=NamedSharding(mesh, P(None, "d")),
     )
     return jax.device_put(state, sh)

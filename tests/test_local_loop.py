@@ -141,3 +141,61 @@ def test_local_loop_closes_and_reduces_drift(drift_run):
     # without closing, the injected drift persists; with closing it must shrink
     assert err_open > 0.6 * drift_mag, (err_open, drift_mag)
     assert err_closed < 0.5 * err_open, (err_closed, err_open)
+
+
+def test_pose_history_healed_on_closure(loop_cam, loop_cfg):
+    """Round-3: an accepted closure must warp the ALREADY-LOGGED trajectory
+    through the graph (applyGraphToPoses, DeformationGraph.cpp:89-116), not
+    just the current pose — '-ep' exports the healed history.
+
+    The closure is deliberately DELAYED two frames (impossible inlier gate)
+    so drifted entries accumulate in the history before it fires."""
+    import dataclasses
+
+    n_warm, n_blocked, n_open = 6, 2, 3
+    frames, gt, _ = make_sequence(loop_cam, n_warm + n_blocked + n_open, kind="still")
+    drift = np.array([0.03, 0.015, 0.0], np.float32)
+
+    engine = CoFusion(
+        loop_cfg,
+        fusion_params=FusionParams(
+            depth_cutoff=4.5, confidence_global=1.0,
+            local_loop_cov_thresh=1e-4, local_loop_err_thresh=5e-4,
+        ),
+        close_loops=True,
+    )
+    for f in frames[:n_warm]:
+        engine.process_frame(f)
+    st = engine.state
+    store = st.models.store
+    aged = store._replace(last_time=jnp.where(store.valid, -500.0, store.last_time))
+    pose = st.models.pose.at[0, :3, 3].add(jnp.asarray(drift))
+    engine.state = st._replace(models=st.models._replace(store=aged, pose=pose))
+
+    # phase 1: closure gated off -> drifted poses land in the history
+    blocked = dataclasses.replace(engine.fusion, local_loop_count_thresh=1e12)
+    normal = engine.fusion
+    engine.fusion = blocked
+    for f in frames[n_warm:n_warm + n_blocked]:
+        engine.process_frame(f)
+    log_before = engine.materialized_pose_log()
+    drift_errs = [
+        np.linalg.norm(log_before[i][1][0][:3, 3] - gt[i][:3, 3])
+        for i in range(n_warm, n_warm + n_blocked)
+    ]
+    assert min(drift_errs) > 0.02, f"drift never entered the log: {drift_errs}"
+
+    # phase 2: closure allowed -> must fire and heal the logged entries
+    engine.fusion = normal
+    closed = False
+    for f in frames[n_warm + n_blocked:]:
+        engine.process_frame(f)
+        closed = closed or bool(engine._last_outputs.loop_closed)
+    assert closed, "no loop closure fired"
+
+    log_after = engine.materialized_pose_log()
+    healed_errs = [
+        np.linalg.norm(log_after[i][1][0][:3, 3] - gt[i][:3, 3])
+        for i in range(n_warm, n_warm + n_blocked)
+    ]
+    assert max(healed_errs) < 0.6 * min(drift_errs), (drift_errs, healed_errs)
