@@ -114,6 +114,10 @@ def build_from_args(argv: list[str]):
             mask_prefix=p.arg("-maskprefix"),
             max_masks=max_masks,
             index_width=p.int_arg("-indexW", 0) or None,
+            # 16-bit PNG depth scale; the reference hard-codes x0.0006 for the
+            # car4/room4 Blender datasets (ImageLogReader.cpp:260).  Extension
+            # flag: '-pngScale 0.001' for mm-encoded PNG depth.
+            png_depth_scale=p.float_arg("-pngScale", 0.0006),
         )
     else:
         raise SystemExit("need -l <log.klg> or -dir <dataset dir>")
@@ -170,6 +174,28 @@ def build_from_args(argv: list[str]):
         close_loops=p.flag("-cl"),
         frame_to_frame_rgb=p.flag("-ftf"),
     )
+    # CRF segmentation tuning flags (MainController.cpp:222-231 push these into
+    # the GUI Vars the live system runs with, GUI/Tools/GUI.h:210-227).  The
+    # -crf* flags are STDs: the kernel features are scaled by their inverse.
+    from cofusion_tpu.config import SegmentationParams
+
+    sp = SegmentationParams()
+    engine.segmentation = SegmentationParams(
+        scale_rgb=1.0 / p.float_arg("-crfRGB", 1.0 / sp.scale_rgb),
+        scale_depth=1.0 / p.float_arg("-crfDepth", 1.0 / sp.scale_depth),
+        scale_pos=1.0 / p.float_arg("-crfPos", 1.0 / sp.scale_pos),
+        weight_appearance=p.float_arg("-crfAppearance", sp.weight_appearance),
+        weight_smoothness=p.float_arg("-crfSmooth", sp.weight_smoothness),
+        unary_threshold_new=p.float_arg("-thNew", sp.unary_threshold_new),
+        unary_k_error=p.float_arg("-k", sp.unary_k_error),
+        min_rel_size_new=p.float_arg("-segMinNew", sp.min_rel_size_new),
+        max_rel_size_new=p.float_arg("-segMaxNew", sp.max_rel_size_new),
+    )
+    # '-a N' preallocates N object models in the reference
+    # (preallocatedModelsCount, MainController.cpp:198) to hide allocation
+    # hiccups at spawn time; here every slot is statically allocated in the
+    # compiled program, so the flag is accepted and a no-op.
+    _ = p.int_arg("-a", 0)
 
     # -p: ground-truth pose override (GroundTruthOdometry)
     ground_truth = None
@@ -188,7 +214,13 @@ def build_from_args(argv: list[str]):
         "frame_skip": p.flag("-fs"),
         "export_dir": rel(p.arg("-exportdir")),
         "export_poses": p.flag("-ep"),
+        # '-icl' = ICL-NUIM mode (MainController.cpp:98): its engine-side
+        # effect is savePly() at shutdown (CoFusion.cpp:80-82), hence the model
+        # export; its other effect (GUI up-vector flip, MainController.cpp:520)
+        # is a headless non-goal
         "export_models": p.flag("-em") or p.flag("-icl"),
+        "icl": p.flag("-icl"),
+        "rewind": p.flag("-r"),
         "export_segmentation": p.flag("-es"),
         "export_labels": p.flag("-el"),
         "export_normals": p.flag("-en"),
@@ -210,13 +242,24 @@ def _has_masks(directory) -> bool:
     return bool(glob.glob(os.path.join(directory, "Mask*")))
 
 
+def _write_drained_masks(drained: list, opt: dict) -> None:
+    """Write masks pulled from the engine's device-side ring ('-es'/'-el').
+    Naming + THRESH_TOZERO_INV parity with CoFusion.cpp:235-240."""
+    for tick, mask in drained:
+        if opt["export_segmentation"]:
+            export.export_mask_png(
+                os.path.join(opt["export_dir"], f"Segmentation{tick}.png"), mask
+            )
+        if opt["export_labels"]:
+            export.export_label_png(
+                os.path.join(opt["export_dir"], f"Labels{tick - 1}.png"), mask
+            )
+
+
 def run(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     reader, engine, opt = build_from_args(argv)
     sw = Stopwatch.get()
-    if opt["export_segmentation"] or opt["export_labels"]:
-        # materialize the CRF mask every frame so exported masks are never stale
-        engine.sync_segmentation = True
 
     if opt["resume"]:
         from cofusion_tpu.utils import checkpoint as ckpt
@@ -228,14 +271,34 @@ def run(argv: list[str] | None = None) -> int:
         reader.fast_forward(opt["start"])
 
     end = opt["end"] if opt["end"] >= 0 else reader.num_frames()
+    if opt["rewind"] and opt["end"] < 0:
+        # '-r' ping-pong playback (MainController.cpp:352-363) has no natural
+        # log end; headless default = one full forward + backward sweep.  Pass
+        # '-e N' for longer loops (N counts processed frames, like the
+        # reference's tick bound).
+        end = max(2 * reader.num_frames() - 2, 1)
+    direction = 1
     processed = 0
     any_frame_export = opt["export_segmentation"] or opt["export_labels"] or opt[
         "export_normals"
     ] or opt["export_viewport"]
     if opt["export_dir"] and any_frame_export:
         os.makedirs(opt["export_dir"], exist_ok=True)
-    while reader.has_more() and reader.current_frame < end:
-        frame = reader.get_next()
+    while True:
+        if opt["rewind"]:
+            if processed >= end:
+                break
+            if direction > 0 and not reader.has_more():
+                direction = -1
+            if direction < 0 and reader.current_frame <= 1:
+                # bounced off the log start: restart forward playback
+                reader.rewind()
+                direction = 1
+            frame = reader.get_next() if direction > 0 else reader.get_previous()
+        else:
+            if not (reader.has_more() and reader.current_frame < end):
+                break
+            frame = reader.get_next()
         gt_pose = None
         if opt["ground_truth"] is not None:
             gt_pose = opt["ground_truth"].pose_for(frame.get("timestamp", 0))
@@ -250,20 +313,10 @@ def run(argv: list[str] | None = None) -> int:
         if opt["export_dir"]:
             # reference tick during this frame's processing == frames seen so far
             tick = int(engine.state.tick)
-            if opt["export_segmentation"]:
-                mask = engine.current_segmentation()
-                if mask is not None:
-                    # name + THRESH_TOZERO_INV parity with CoFusion.cpp:235-240
-                    export.export_mask_png(
-                        os.path.join(opt["export_dir"], f"Segmentation{tick}.png"),
-                        mask,
-                    )
-            if opt["export_labels"]:
-                mask = engine.current_segmentation()
-                if mask is not None:
-                    export.export_label_png(
-                        os.path.join(opt["export_dir"], f"Labels{tick - 1}.png"), mask
-                    )
+            if opt["export_segmentation"] or opt["export_labels"]:
+                # masks arrive in bulk from the device ring (one transfer per
+                # ~R frames) — the async loop never blocks on a mask readback
+                _write_drained_masks(engine.drain_segmentation(), opt)
             if opt["export_normals"] or opt["export_viewport"]:
                 views = engine.render_views()
                 if opt["export_normals"]:
@@ -279,6 +332,8 @@ def run(argv: list[str] | None = None) -> int:
 
     if opt["export_dir"]:
         os.makedirs(opt["export_dir"], exist_ok=True)
+        if opt["export_segmentation"] or opt["export_labels"]:
+            _write_drained_masks(engine.drain_segmentation(flush=True), opt)
         if opt["export_poses"]:
             # model 0 = camera (cam->world); objects = P_cam * P_obj^-1
             # (CoFusion.cpp:502-519) — engine.pose_log already stores this form

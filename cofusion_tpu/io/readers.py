@@ -126,6 +126,12 @@ class LogReader:
     def get_next(self) -> dict:
         raise NotImplementedError
 
+    def get_previous(self) -> dict:
+        """Step one frame BACKWARD and return it ('-r' rewind playback,
+        LogReader::getPrevious — the reference keeps a file-pointer stack,
+        KlgLogReader.cpp:41-128).  Optional: only klg/image readers support it."""
+        raise NotImplementedError
+
     def has_more(self) -> bool:
         raise NotImplementedError
 
@@ -149,6 +155,10 @@ class KlgLogReader(LogReader):
         self.path = path
         self.width = width
         self.height = height
+        # frame-offset stack for the python-fallback get_previous (the
+        # reference's file-pointer stack, KlgLogReader.cpp:41-128); kept even
+        # on the native path so a runtime fallback switch works
+        self._offsets: list[int] = []
         self._lib = _load_native()
         if self._lib:
             self._h = self._lib.klg_open(path.encode(), width, height)
@@ -186,6 +196,21 @@ class KlgLogReader(LogReader):
             return {"rgb": rgb, "depth": depth, "mask": None, "timestamp": int(ts.value)}
         return self._get_next_python()
 
+    def get_previous(self) -> dict:
+        """Seek one frame back and return it (rewind '-r' playback)."""
+        i = max(self.current_frame - 2, 0)
+        if self._lib:
+            self._lib.klg_seek(self._h, i)
+            self.current_frame = i
+            return self.get_next()
+        # python fallback: pop the offset stack (frames are only ever read
+        # forward, so the stack holds every frame start up to current_frame)
+        while len(self._offsets) > i + 1:
+            self._offsets.pop()
+        self._fp.seek(self._offsets[i] if self._offsets else 4)
+        self.current_frame = i
+        return self._get_next_python()
+
     def _get_next_python(self) -> dict:
         import struct
         import zlib
@@ -193,6 +218,8 @@ class KlgLogReader(LogReader):
         import cv2
 
         npix = self.width * self.height
+        if len(self._offsets) <= self.current_frame:
+            self._offsets.append(self._fp.tell())
         ts, dsize, rsize = struct.unpack("<qii", self._fp.read(16))
         dbuf = self._fp.read(dsize)
         rbuf = self._fp.read(rsize) if rsize > 0 else b""
@@ -243,9 +270,11 @@ class ImageLogReader(LogReader):
 
     Autodetects color/depth/mask filename prefixes and extensions
     (ImageLogReader.cpp:75-117), 0-vs-1 start index (:130-140), and
-    `calibration.txt` next to the data (:146-148).  Depth: .exr (float meters) or
-    16-bit png (x0.001 -> not the reference's x0.0006 Blender quirk — see
-    `png_depth_scale`).  Timestamps synthesized at `rate_hz` (default 24)."""
+    `calibration.txt` next to the data (:146-148).  Depth: .exr (float meters)
+    or 16-bit png converted at x0.0006 — the reference's hard-coded scale for
+    the car4/room4 Blender datasets (ImageLogReader.cpp:260); override with
+    `png_depth_scale` (CLI `-pngScale`) for mm-style x0.001 datasets.
+    Timestamps synthesized at `rate_hz` (default 24)."""
 
     def __init__(
         self,
@@ -257,7 +286,7 @@ class ImageLogReader(LogReader):
         mask_prefix: str | None = None,
         rate_hz: float = 24.0,
         prefetch: int = 15,
-        png_depth_scale: float = 0.001,
+        png_depth_scale: float = 0.0006,
         max_masks: int | None = None,
         index_width: int | None = None,
     ):
@@ -363,6 +392,17 @@ class ImageLogReader(LogReader):
     def get_next(self) -> dict:
         i, frame = self._queue.get()
         # queue is strictly ordered; i == current_frame unless rewound
+        self.current_frame = i + 1
+        if self.flip_colors:
+            frame = dict(frame, rgb=frame["rgb"][..., ::-1])
+        return frame
+
+    def get_previous(self) -> dict:
+        """Random-access backward step ('-r'): bypasses the prefetch queue
+        (which only runs forward; by the time playback reverses at the log end
+        the queue is drained and the prefetch thread has exited)."""
+        i = max(self.current_frame - 2, 0)
+        frame = self._load(i)
         self.current_frame = i + 1
         if self.flip_colors:
             frame = dict(frame, rgb=frame["rgb"][..., ::-1])

@@ -129,7 +129,8 @@ def test_reader_depthdir_and_max_masks(tmp_path, tiny_cam, tiny_frames):
         cv2.imwrite(str(m / f"Mask{i:04d}.png"), f["mask"])
 
     r = readers.ImageLogReader(
-        str(c), mask_directory=str(m), depth_directory=str(d), max_masks=2
+        str(c), mask_directory=str(m), depth_directory=str(d), max_masks=2,
+        png_depth_scale=0.001,  # mm-encoded test PNGs (default is x0.0006)
     )
     assert r.num_frames() == len(frames)
     f0 = r.get_next()

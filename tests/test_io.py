@@ -71,7 +71,9 @@ def test_image_dir_reader(tmp_path, small_cam, tiny_seq):
         cv2.imwrite(str(m / f"Mask{i:04d}.png"), f["mask"])
     (d / "calibration.txt").write_text("132.0 132.0 80.0 64.0")
 
-    r = readers.ImageLogReader(str(d), mask_directory=str(m))
+    # mm-encoded PNG depth needs the explicit x0.001 scale (the DEFAULT is the
+    # reference's hard-coded x0.0006 Blender-dataset quirk, ImageLogReader.cpp:260)
+    r = readers.ImageLogReader(str(d), mask_directory=str(m), png_depth_scale=0.001)
     assert r.num_frames() == 4
     assert r.calibration_file() is not None
     fx, fy, cx, cy, w, h = readers.load_calibration(r.calibration_file())
