@@ -267,6 +267,74 @@ class CoFusion:
         )
 
     # ------------------------------------------------------------------
+    def _make_fparams(self, weight_multiplier, new_slot, use_crf, mask_np, gt_pose):
+        """Per-frame traced-scalar dict, cached: each eager `jnp.float32(...)`
+        is a device dispatch (~25 per frame uncached), and on this platform
+        host->device dispatches are the async loop's scarcest resource.  The
+        run-constant fields are created ONCE; only the handful that actually
+        vary (weight multiplier, GT-mask slot nomination, '-p' pose) are
+        re-created, themselves memoized by value."""
+        if not hasattr(self, "_fp_const"):
+            f = self.fusion
+            self._fp_const = dict(
+                depth_cutoff=jnp.float32(f.depth_cutoff),
+                outlier_coeff=jnp.float32(f.outlier_coefficient),
+                time_delta=jnp.int32(self.cfg.time_delta),
+                spawn_offset=jnp.int32(f.model_spawn_offset),
+                conf_object=jnp.float32(f.confidence_object),
+                deactivate_count=jnp.int32(f.model_deactivate_count),
+                fern_min_age=jnp.int32(f.fern_min_age),
+                fern_icp_thresh=jnp.float32(f.fern_icp_error_thresh),
+                fern_photo_thresh=jnp.float32(f.fern_photo_thresh),
+                fern_thresh=jnp.float32(f.fern_thresh),
+                ftf=jnp.bool_(self.frame_to_frame_rgb),
+                loop_cov_thresh=jnp.float32(f.local_loop_cov_thresh),
+                loop_err_thresh=jnp.float32(f.local_loop_err_thresh),
+                loop_count_thresh=jnp.float32(f.local_loop_count_thresh),
+                gt_pose_eye=jnp.eye(4, dtype=jnp.float32),
+                bool_true=jnp.bool_(True),
+                bool_false=jnp.bool_(False),
+            )
+            self._fp_wmult: dict[float, jnp.ndarray] = {}
+            self._fp_slot: dict[int, jnp.ndarray] = {}
+        c = self._fp_const
+        wm = float(weight_multiplier)
+        if wm not in self._fp_wmult:
+            self._fp_wmult[wm] = jnp.float32(wm)
+        ns = int(new_slot)
+        if ns not in self._fp_slot:
+            self._fp_slot[ns] = jnp.int32(ns)
+        fparams = dict(
+            depth_cutoff=c["depth_cutoff"],
+            outlier_coeff=c["outlier_coeff"],
+            weight_multiplier=self._fp_wmult[wm],
+            time_delta=c["time_delta"],
+            new_slot=self._fp_slot[ns],
+            allow_new=c["bool_true"] if ns >= 0 else c["bool_false"],
+            gt_masks=(
+                c["bool_true"]
+                if (self.enable_multi_model and not use_crf and mask_np is not None)
+                else c["bool_false"]
+            ),
+            spawn_offset=c["spawn_offset"],
+            conf_object=c["conf_object"],
+            deactivate_count=c["deactivate_count"],
+            fern_min_age=c["fern_min_age"],
+            fern_icp_thresh=c["fern_icp_thresh"],
+            fern_photo_thresh=c["fern_photo_thresh"],
+            fern_thresh=c["fern_thresh"],
+            ftf=c["ftf"],
+            gt_pose=(
+                c["gt_pose_eye"] if gt_pose is None
+                else jnp.asarray(gt_pose, jnp.float32)
+            ),
+            loop_cov_thresh=c["loop_cov_thresh"],
+            loop_err_thresh=c["loop_err_thresh"],
+            loop_count_thresh=c["loop_count_thresh"],
+        )
+        return fparams
+
+    # ------------------------------------------------------------------
     def process_frame(
         self,
         frame: dict,
@@ -364,30 +432,8 @@ class CoFusion:
                     jnp.int32,
                 )
             with self.sw.section("odom+fuse"):
-                fparams = dict(
-                    depth_cutoff=jnp.float32(self.fusion.depth_cutoff),
-                    outlier_coeff=jnp.float32(self.fusion.outlier_coefficient),
-                    weight_multiplier=jnp.float32(weight_multiplier),
-                    time_delta=jnp.int32(self.cfg.time_delta),
-                    new_slot=jnp.int32(new_slot),
-                    allow_new=jnp.bool_(new_slot >= 0),
-                    gt_masks=jnp.bool_(
-                        self.enable_multi_model and not use_crf and mask_np is not None
-                    ),
-                    spawn_offset=jnp.int32(self.fusion.model_spawn_offset),
-                    conf_object=jnp.float32(self.fusion.confidence_object),
-                    deactivate_count=jnp.int32(self.fusion.model_deactivate_count),
-                    fern_min_age=jnp.int32(self.fusion.fern_min_age),
-                    fern_icp_thresh=jnp.float32(self.fusion.fern_icp_error_thresh),
-                    fern_photo_thresh=jnp.float32(self.fusion.fern_photo_thresh),
-                    fern_thresh=jnp.float32(self.fusion.fern_thresh),
-                    ftf=jnp.bool_(self.frame_to_frame_rgb),
-                    gt_pose=jnp.asarray(
-                        gt_pose if gt_pose is not None else np.eye(4), jnp.float32
-                    ),
-                    loop_cov_thresh=jnp.float32(self.fusion.local_loop_cov_thresh),
-                    loop_err_thresh=jnp.float32(self.fusion.local_loop_err_thresh),
-                    loop_count_thresh=jnp.float32(self.fusion.local_loop_count_thresh),
+                fparams = self._make_fparams(
+                    weight_multiplier, new_slot, use_crf, mask_np, gt_pose
                 )
                 self.state, outputs = self._get_step(use_crf, gt_pose is not None)(
                     self.state, rgb, depth, mask, fparams
@@ -870,7 +916,15 @@ def _step(
             valid=models_stable.valid & ~rs[:, None],
             count=jnp.where(rs, 0, models_stable.count),
         )
-        new_pose = jnp.where(rs[:, None, None], new_pose[0][None], new_pose)
+        # a fresh model's pose is IDENTITY (Model.cpp:108: the constructor
+        # initializes pose to Identity; spawnObjectModel never overrides it) —
+        # its map lives in the spawn-frame CAMERA coordinates, and the export
+        # convention globalPose * modelPose^-1 (CoFusion.cpp:504-508) then
+        # yields O_t O_s^-1 C_s.  Spawning at the camera pose instead shifts
+        # every exported object pose by C_s.
+        new_pose = jnp.where(
+            rs[:, None, None], jnp.eye(4, dtype=new_pose.dtype)[None], new_pose
+        )
         new_conf_threshold = jnp.where(
             rs, fparams["conf_object"], new_conf_threshold
         )
