@@ -179,6 +179,12 @@ class CoFusion:
         self._step_fns: dict[tuple, object] = {}
         self._frames_since_sync = 0
         self._render_fn = None
+        # CRF-mode double-buffered active-flag readback: the handle whose
+        # async device->host copy was initiated at the previous sync point
+        self._pending_active = None
+        self._sync_cadence = 4
+        # True while un-synced CRF frames may hold pending lifecycle events
+        self._lifecycle_dirty = False
 
     def _get_step(self, use_crf: bool, use_gt_pose: bool = False):
         key = (use_crf, self.enable_relocalization, use_gt_pose, self.close_loops)
@@ -450,31 +456,29 @@ class CoFusion:
                 self._host_cooldown = min(self._host_cooldown + 1, 10000)
 
             # CRF mode: periodically refresh the host's slot-usage view (the
-            # device spawns/kills models autonomously) — one small blocking read
+            # device spawns/kills models autonomously).  ZERO blocking reads
+            # on the frame path: each sync point CONSUMES the device->host
+            # copy initiated at the PREVIOUS sync (the transfer had a full
+            # cadence of frames to cross the tunnel, so np.asarray on it is
+            # a cache hit) and STARTS a new async copy from this frame's
+            # outputs.active — a fresh non-donated buffer, safe to hold
+            # across later donated steps.  Slot-view staleness grows from
+            # one cadence to two (<= 8 frames), still far inside the
+            # spawn_cooldown window (22 frames) that makes between-sync
+            # `new_slot` nominations safe.
             if use_crf:
+                self._lifecycle_dirty = True
                 self._frames_since_sync += 1
-                if self._frames_since_sync >= 4:
+                if self._frames_since_sync >= self._sync_cadence:
                     self._frames_since_sync = 0
-                    active = np.asarray(self.state.models.active)
-                    now = {0} | {
-                        s for s in range(1, self.cfg.max_models) if active[s]
-                    }
-                    for s in sorted(now - self._active_snapshot):
-                        self._ever_active.add(s)
-                        for fn in self._new_model_listeners:
-                            fn(s)
-                    for s in sorted(self._active_snapshot - now):
-                        for fn in self._inactive_model_listeners:
-                            fn(s)
-                    self._active_snapshot = now
-                    # recycle dead slots (the device resets a recycled slot's
-                    # store/pose/threshold on spawn): without this the TOTAL
-                    # object count per run would be capped at max_models-1
-                    # (the reference supports 256 sequential ids,
-                    # CoFusion.cpp:628-644).  `new_slot` nominations between
-                    # syncs stay safe — spawn_cooldown (22 frames) blocks a
-                    # re-spawn into a just-filled slot before the next sync.
-                    self._used_slots = set(now)
+                    prev = self._pending_active
+                    self._pending_active = outputs.active
+                    try:
+                        self._pending_active.copy_to_host_async()
+                    except (AttributeError, NotImplementedError):
+                        pass
+                    if prev is not None:
+                        self._apply_active_snapshot(np.asarray(prev))
 
             # flush the on-device pose-history ring to the host before it wraps
             # (sequences longer than max_log_frames would otherwise silently
@@ -486,6 +490,36 @@ class CoFusion:
             if sync:
                 return self.stats()
         return {"tick": None}
+
+    def _apply_active_snapshot(self, active: np.ndarray) -> None:
+        """Fold a materialized active-flag snapshot into the host's slot view:
+        fire lifecycle listeners on edges and recycle dead slots (the device
+        resets a recycled slot's store/pose/threshold on spawn) — without
+        recycling the TOTAL object count per run would be capped at
+        max_models-1 (the reference supports 256 sequential ids,
+        CoFusion.cpp:628-644)."""
+        now = {0} | {s for s in range(1, self.cfg.max_models) if active[s]}
+        for s in sorted(now - self._active_snapshot):
+            self._ever_active.add(s)
+            for fn in self._new_model_listeners:
+                fn(s)
+        for s in sorted(self._active_snapshot - now):
+            for fn in self._inactive_model_listeners:
+                fn(s)
+        self._active_snapshot = now
+        self._used_slots = set(now)
+
+    def flush_lifecycle(self) -> None:
+        """Materialize the freshest active flags and fire any pending
+        lifecycle events (blocking; end-of-run / on-demand use only — the
+        frame path syncs asynchronously at the sync cadence).  No-op outside
+        CRF mode: the GT-mask path fires its events immediately host-side."""
+        if self.state is None or not self._lifecycle_dirty:
+            return
+        self._lifecycle_dirty = False
+        self._pending_active = None
+        self._frames_since_sync = 0
+        self._apply_active_snapshot(np.asarray(self.state.models.active))
 
     def _flush_pose_history(self) -> None:
         """Move device pose-history entries into the host-side chunk list."""
@@ -618,13 +652,15 @@ class CoFusion:
         return np.asarray(self.state.prev_mask).astype(np.uint8)
 
     def model_ever_active(self, m: int) -> bool:
+        self.flush_lifecycle()  # CRF events may be in flight; GT mode: no-op
         return m in self._ever_active
 
     # -- model lifecycle listeners (CoFusion.h:286-289) -----------------
     def add_new_model_listener(self, fn) -> None:
         """fn(slot: int) on model spawn (newModelListeners, CoFusion.cpp:607).
-        CRF-mode events arrive at the active-flag sync cadence (<=4 frames
-        late) so the async loop never blocks; GT-mask events are immediate."""
+        CRF-mode events arrive at most two sync cadences (<=8 frames) late —
+        the readback is double-buffered so the async loop NEVER blocks;
+        GT-mask events are immediate.  flush_lifecycle() forces delivery."""
         self._new_model_listeners.append(fn)
 
     def add_inactive_model_listener(self, fn) -> None:
@@ -1235,7 +1271,11 @@ def _step(
         rgb_error=res.rgb_error,
         surfel_counts=new_stores.count
         + jnp.minimum(new_stables.count, new_stables.capacity),
-        active=new_active,
+        # (tick < 0) is always False at runtime but not foldable at trace
+        # time: it forces a DISTINCT output buffer so the host may hold this
+        # handle across later donated steps (an aliased copy of the state
+        # leaf would be overwritten by the next step's donation)
+        active=new_active | (tick < 0),
         spawned=has_new,
         loop_closed=loop_accepted & loop_deformed,
     )
@@ -1402,7 +1442,7 @@ def _step_gt_pose(
         rgb_error=zm,
         surfel_counts=new_stores.count
         + jnp.minimum(new_stables.count, new_stables.capacity),
-        active=models.active,
+        active=models.active | (tick < 0),  # fresh buffer — see _step
         spawned=jnp.bool_(False),
         loop_closed=jnp.bool_(False),
     )

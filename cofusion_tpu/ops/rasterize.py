@@ -147,15 +147,18 @@ def _zbuffer(lin, ok, z, idx_dim, n_buckets, capacity, max_depth):
     batch axes; entries with ~ok must equal n_buckets (dropped).  Returns the
     winner surfel index per bucket (capacity = no winner).
 
-    Capacities beyond 2^23 (the reference's own 3072^2 = 9.4M scale,
-    Model.cpp:92-98) leave < 8 z-quantization bits in an int32 key; those fall
-    back to a two-pass form — float32 z scatter-min, then an index scatter-min
+    Capacities beyond 2^19 leave < 12 z-quantization bits in an int32 key:
+    steps coarser than ~1.1 mm over a 4.5 m cutoff, degrading toward the fuse
+    pass's 10 mm dup gate and 30 mm free-space gate (ops/fusion.py) that
+    consume these renders.  Those capacities (including the reference's own
+    3072^2 = 9.4M scale, Model.cpp:92-98) take a two-pass EXACT form — float32 z scatter-min, then an index scatter-min
     restricted to entries matching the winning depth (ties break to the
-    smaller index, same determinism) — at ~2x the scatter cost."""
+    smaller index, same determinism; full float32 depth resolution, matching
+    the reference's 24-bit GL depth test ModelProjection.cpp:105-157) — at ~2x the scatter cost."""
     idx_bits = max(1, (capacity - 1).bit_length())
     zbits = _zkey_bits(capacity)
     idx = jax.lax.broadcasted_iota(jnp.int32, lin.shape, idx_dim)
-    if zbits < 8:
+    if zbits < 12:
         zm = jnp.where(ok, z, jnp.inf)
         zbuf = jnp.full((n_buckets,), jnp.inf).at[lin.reshape(-1)].min(
             zm.reshape(-1), mode="drop"
