@@ -173,6 +173,9 @@ def build_from_args(argv: list[str]):
         # "machinery implemented, gated off by default")
         close_loops=p.flag("-cl"),
         frame_to_frame_rgb=p.flag("-ftf"),
+        # '-keep': keep all deactivated models' data (disables smart delete,
+        # MainController.cpp:69,236 -> CoFusion.cpp:612-626)
+        keep_models=p.flag("-keep"),
     )
     # CRF segmentation tuning flags (MainController.cpp:222-231 push these into
     # the GUI Vars the live system runs with, GUI/Tools/GUI.h:210-227).  The

@@ -20,6 +20,7 @@ TPU-first architecture:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -128,6 +129,7 @@ class CoFusion:
         enable_relocalization: bool = False,
         close_loops: bool = False,
         frame_to_frame_rgb: bool = False,
+        keep_models: bool = False,
     ):
         self.cfg = cfg
         self.cam = cfg.camera
@@ -137,6 +139,13 @@ class CoFusion:
         self.enable_relocalization = enable_relocalization
         self.close_loops = close_loops
         self.frame_to_frame_rgb = frame_to_frame_rgb
+        # '-keep': keep deactivated models' data unconditionally; otherwise
+        # smart delete keeps only mature maps (>= 4000 surfels AND confidence
+        # threshold > 0.3 — CoFusion.cpp:612-626, CoFusion.h:384-385)
+        self.keep_models = keep_models
+        # hot-tunable runtime overrides (the reference re-reads ~25 Pangolin
+        # Vars every frame, MainController.cpp:448-473); set via set_params()
+        self._hot: dict = {}
         self.sw = Stopwatch.get()
         self.state: EngineState | None = None
         self._timestamps: list[int] = []
@@ -282,9 +291,32 @@ class CoFusion:
         re-created, themselves memoized by value."""
         if not hasattr(self, "_fp_const"):
             f = self.fusion
+            s = self.segmentation
+            h = self._hot
+
+            def hot(name, default):
+                return jnp.float32(h.get(name, default))
+
             self._fp_const = dict(
-                depth_cutoff=jnp.float32(f.depth_cutoff),
-                outlier_coeff=jnp.float32(f.outlier_coefficient),
+                depth_cutoff=hot("depth_cutoff", f.depth_cutoff),
+                outlier_coeff=hot("outlier_coefficient", f.outlier_coefficient),
+                # hot-tunable GUI-Var set (MainController.cpp:448-473): traced
+                # scalars — set_params() changes them with NO recompilation
+                icp_weight=hot("icp_weight", self.tracking.icp_weight),
+                crf_scale_rgb=hot("crf_scale_rgb", s.scale_rgb),
+                crf_scale_depth=hot("crf_scale_depth", s.scale_depth),
+                crf_scale_pos=hot("crf_scale_pos", s.scale_pos),
+                crf_w_app=hot("weight_appearance", s.weight_appearance),
+                crf_w_smooth=hot("weight_smoothness", s.weight_smoothness),
+                unary_threshold_new=hot("unary_threshold_new", s.unary_threshold_new),
+                unary_k_error=hot("unary_k_error", s.unary_k_error),
+                unary_weight_error=hot("unary_weight_error", s.unary_weight_error),
+                seg_min_new=hot("min_rel_size_new", s.min_rel_size_new),
+                seg_max_new=hot("max_rel_size_new", s.max_rel_size_new),
+                # '-keep' smart-delete gates (CoFusion.cpp:615, CoFusion.h:384-385)
+                keep_data=jnp.bool_(self.keep_models),
+                keep_min_surfels=hot("keep_min_surfels", 4000.0),
+                keep_conf=hot("keep_conf_threshold", 0.3),
                 time_delta=jnp.int32(self.cfg.time_delta),
                 spawn_offset=jnp.int32(f.model_spawn_offset),
                 conf_object=jnp.float32(f.confidence_object),
@@ -311,10 +343,12 @@ class CoFusion:
         if ns not in self._fp_slot:
             self._fp_slot[ns] = jnp.int32(ns)
         fparams = dict(
-            depth_cutoff=c["depth_cutoff"],
-            outlier_coeff=c["outlier_coeff"],
+            {
+                k: v
+                for k, v in c.items()
+                if k not in ("gt_pose_eye", "bool_true", "bool_false")
+            },
             weight_multiplier=self._fp_wmult[wm],
-            time_delta=c["time_delta"],
             new_slot=self._fp_slot[ns],
             allow_new=c["bool_true"] if ns >= 0 else c["bool_false"],
             gt_masks=(
@@ -322,23 +356,57 @@ class CoFusion:
                 if (self.enable_multi_model and not use_crf and mask_np is not None)
                 else c["bool_false"]
             ),
-            spawn_offset=c["spawn_offset"],
-            conf_object=c["conf_object"],
-            deactivate_count=c["deactivate_count"],
-            fern_min_age=c["fern_min_age"],
-            fern_icp_thresh=c["fern_icp_thresh"],
-            fern_photo_thresh=c["fern_photo_thresh"],
-            fern_thresh=c["fern_thresh"],
-            ftf=c["ftf"],
             gt_pose=(
                 c["gt_pose_eye"] if gt_pose is None
                 else jnp.asarray(gt_pose, jnp.float32)
             ),
-            loop_cov_thresh=c["loop_cov_thresh"],
-            loop_err_thresh=c["loop_err_thresh"],
-            loop_count_thresh=c["loop_count_thresh"],
         )
         return fparams
+
+    # ------------------------------------------------------------------
+    _HOT_PARAMS = frozenset(
+        (
+            "depth_cutoff", "outlier_coefficient", "icp_weight",
+            "crf_scale_rgb", "crf_scale_depth", "crf_scale_pos",
+            "weight_appearance", "weight_smoothness",
+            "unary_threshold_new", "unary_k_error", "unary_weight_error",
+            "min_rel_size_new", "max_rel_size_new",
+            "keep_min_surfels", "keep_conf_threshold",
+        )
+    )
+
+    def set_params(self, **kw) -> None:
+        """Change runtime-tunable parameters mid-run WITHOUT recompilation —
+        the reference's Pangolin Vars are re-read every frame and pushed into
+        the engine via setters (MainController.cpp:448-473: icpWeight,
+        depthCutoff, outlierCoefficient, all CRF weights/thresholds).  The
+        values are traced scalars in the per-frame `fparams` dict, so the
+        compiled program is unchanged; only the next frame's inputs differ."""
+        bad = set(kw) - self._HOT_PARAMS
+        if bad:
+            raise ValueError(
+                f"not hot-tunable: {sorted(bad)}; available: {sorted(self._HOT_PARAMS)}"
+            )
+        self._hot.update(kw)
+        if hasattr(self, "_fp_const"):
+            del self._fp_const  # rebuilt (with overrides) on the next frame
+
+    def set_confidence_threshold(self, slot: int, value: float) -> None:
+        """Hot-set one model's confidence threshold (the reference's per-model
+        GUI sliders, GUI/Tools/GUI.h:39,58).  Device-side state write between
+        frames; no recompilation."""
+        if self.state is None:
+            if slot == 0:
+                self.fusion = dataclasses.replace(self.fusion, confidence_global=value)
+            else:
+                self.fusion = dataclasses.replace(self.fusion, confidence_object=value)
+            return
+        models = self.state.models
+        self.state = self.state._replace(
+            models=models._replace(
+                conf_threshold=models.conf_threshold.at[slot].set(jnp.float32(value))
+            )
+        )
 
     # ------------------------------------------------------------------
     def process_frame(
@@ -829,7 +897,7 @@ def _step(
         rgb_ok_b = tuple(v[None] for v in frame_pyr.rgb_ok)
     res = od.track_models(
         models.pose, frame_pyr, valid_b, rgb_ok_b, mpyr_b, state.so3_ref,
-        cam, cfg, tparams,
+        cam, cfg, tparams, icp_weight=fparams["icp_weight"],
     )
     # inactive slots keep their pose and report identity/zero stats (parity
     # with the old per-slot idle branch)
@@ -870,17 +938,39 @@ def _step(
         if use_crf:
             # the device picks the spawn slot itself: first INACTIVE slot > 0.
             # (Using a host-nominated slot races with device-side spawns between
-            # host syncs and can clobber a live model's unary.)
-            inactive = ~models.active
-            any_free = jnp.any(inactive[1:])
-            new_slot = jnp.argmax(inactive.at[0].set(False)).astype(jnp.int32)
+            # host syncs and can clobber a live model's unary.)  Slots still
+            # holding a deactivated model's KEPT map are chosen LAST so '-keep'
+            # data survives as long as capacity allows (the reference's
+            # inactiveModels list is unbounded; our slot pool is the bound).
+            inactive = (~models.active).at[0].set(False)
+            any_free = jnp.any(inactive)
+            slot_empty = (models.store.count + models.stable.count) == 0
+            pref = inactive & slot_empty
+            new_slot = jnp.where(
+                jnp.any(pref), jnp.argmax(pref), jnp.argmax(inactive)
+            ).astype(jnp.int32)
             allow_new = any_free & (
                 models.spawn_cooldown >= fparams["spawn_offset"]
             )
             conf_proj = splat.vert_conf[..., 3]
+            # hot-tunable CRF scalars ride fparams (traced; set_params());
+            # loop counts stay static from sparams
+            sp_run = dataclasses.replace(
+                sparams,
+                scale_rgb=fparams["crf_scale_rgb"],
+                scale_depth=fparams["crf_scale_depth"],
+                scale_pos=fparams["crf_scale_pos"],
+                weight_appearance=fparams["crf_w_app"],
+                weight_smoothness=fparams["crf_w_smooth"],
+                unary_threshold_new=fparams["unary_threshold_new"],
+                unary_k_error=fparams["unary_k_error"],
+                unary_weight_error=fparams["unary_weight_error"],
+                min_rel_size_new=fparams["seg_min_new"],
+                max_rel_size_new=fparams["seg_max_new"],
+            )
             seg = sg.perform_segmentation_crf(
                 rgb, depth, seg_err_maps, conf_proj, models.active,
-                jnp.clip(new_slot, 0, M - 1), allow_new, cam, cfg, sparams,
+                jnp.clip(new_slot, 0, M - 1), allow_new, cam, cfg, sp_run,
             )
             mask = seg.full_segmentation
             counts = seg.superpixel_count
@@ -913,6 +1003,18 @@ def _step(
         miss = models.active & (slot_ids > 0) & (counts == 0)
         new_unseen = jnp.where(miss, models.unseen + 1, 0)
         deactivate = new_unseen >= fparams["deactivate_count"]
+        # smart delete (inactivateModel, CoFusion.cpp:612-626): a deactivated
+        # model's map is KEPT only when mature (>= modelKeepMinSurfels surfels
+        # AND confidence threshold > modelKeepConfThreshold) — or always under
+        # '-keep' (keep_data).  Wiped slots also skip this frame's fuse (the
+        # reference erases the model from the list before its fuse loop).
+        total_count = models.store.count + models.stable.count
+        kept = fparams["keep_data"] | (
+            (total_count.astype(jnp.float32) >= fparams["keep_min_surfels"])
+            & (models.conf_threshold > fparams["keep_conf"])
+        )
+        wipe = deactivate & ~kept & (slot_ids > 0)
+        active_fuse = active_fuse & ~wipe
         new_active = active_fuse & ~deactivate
         new_cooldown = jnp.where(has_new, 0, jnp.minimum(models.spawn_cooldown + 1, 10000))
         # per-model fusion depth clamp = depthMean + 1.2 * depthStd (CoFusion.cpp:228)
@@ -943,7 +1045,7 @@ def _step(
     models_store = models.store
     models_stable = models.stable
     if multi:
-        rs = is_new_slot
+        rs = is_new_slot | wipe  # recycled spawn slots + smart-deleted maps
         models_store = models_store._replace(
             valid=models_store.valid & ~rs[:, None],
             count=jnp.where(rs, 0, models_store.count),

@@ -125,9 +125,11 @@ def compact(store: SurfelStore, keep: jnp.ndarray) -> SurfelStore:
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     src = jnp.full((n,), jnp.int32(0)).at[dest].set(iota, mode="drop")
     has = iota < new_count
+    from cofusion_tpu.ops.rows import take_rows
+
+    fetched = take_rows([getattr(store, f) for f in _FLOAT_FIELDS], src)
     out = {
-        f: jnp.where(has, jnp.take(getattr(store, f), src), 0.0)
-        for f in _FLOAT_FIELDS
+        f: jnp.where(has, v, 0.0) for f, v in zip(_FLOAT_FIELDS, fetched)
     }
     return SurfelStore(count=new_count, valid=has, **out)
 
@@ -188,13 +190,15 @@ def expel_split(
     dest = jnp.where(taken, rank, block)
     n_ex = jnp.minimum(jnp.sum(expel.astype(jnp.int32)), block)
 
-    # inverse permutation into the block + planar scalar gathers (see compact)
+    # inverse permutation into the block + ONE row-packed gather (see compact)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     src_b = jnp.full((block,), jnp.int32(0)).at[dest].set(iota, mode="drop")
     has_b = jnp.arange(block) < n_ex
+    from cofusion_tpu.ops.rows import take_rows
+
+    fetched = take_rows([getattr(store, f) for f in _FLOAT_FIELDS], src_b)
     out = {
-        f: jnp.where(has_b, jnp.take(getattr(store, f), src_b), 0.0)
-        for f in _FLOAT_FIELDS
+        f: jnp.where(has_b, v, 0.0) for f, v in zip(_FLOAT_FIELDS, fetched)
     }
     blk = SurfelStore(count=n_ex, valid=has_b, **out)
     return compact(store, stay), blk

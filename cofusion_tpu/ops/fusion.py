@@ -212,14 +212,7 @@ def fuse(
     tap = jnp.maximum(best_tap, 0)
     sy = jnp.clip(y + tap // side - r, 0, H - 1)
     sx = jnp.clip(x + tap % side - r, 0, W - 1)
-    best_idx = jnp.where(
-        best_tap >= 0,
-        jnp.take(imap.index.reshape(-1), (sy * W + sx).reshape(-1)).reshape(H, W),
-        -1,
-    )
-
-    merge = cand & (best_idx >= 0)
-    new = cand & (best_idx < 0)
+    src_lin = sy * W + sx
 
     # --- lift measurements to world frame (data.vert:84-100 applies `pose`).
     # Image-scale stacked math (VMEM-resident) then flatten to scalar columns.
@@ -227,24 +220,44 @@ def fuse(
     t = pose[:3, 3]
     wpos = _rotate(R, frame.pos) + t
     wnorm = _rotate(R, frame.normal)
-    w_cols = {
-        "px": wpos[..., 0].reshape(-1), "py": wpos[..., 1].reshape(-1),
-        "pz": wpos[..., 2].reshape(-1),
-        "nx": wnorm[..., 0].reshape(-1), "ny": wnorm[..., 1].reshape(-1),
-        "nz": wnorm[..., 2].reshape(-1),
-        "cr": frame.color[..., 0].reshape(-1), "cg": frame.color[..., 1].reshape(-1),
-        "cb": frame.color[..., 2].reshape(-1),
-        "radius": frame.radius.reshape(-1),
-    }
 
-    # --- update pass: scatter-accumulate into per-surfel accumulators.
-    # PLANAR on purpose: one bandwidth-speed scalar scatter-add per channel.
-    # Row-packed (n, C) accumulators look cheaper (fewer scatters) but reading
-    # them back requires minor-axis slices of beyond-VMEM arrays — a ~60x-
-    # bandwidth relayout per channel that dwarfs the scatters saved.
+    # --- stagger-phase subsample: `cand` is nonzero ONLY on the 2x2 subgrid
+    # (x%2, y%2) == (t%2, t%2), so every scatter operand shrinks 4x STATICALLY
+    # (scatter cost is per index-array element, live or dead) by slicing that
+    # subgrid out first.  The phase is traced (t%2) — a take along a size-2
+    # axis, not a recompile.
+    halved = (H % 2 == 0) and (W % 2 == 0)
+    p = t_i % 2
+
+    def sub(img):
+        if not halved:
+            return img.reshape(H * W)
+        r = img.reshape(H // 2, 2, W // 2, 2)
+        r = jnp.take(r, p, axis=1)
+        return jnp.take(r, p, axis=2).reshape(-1)
+
+    w_cols = {
+        "px": sub(wpos[..., 0]), "py": sub(wpos[..., 1]), "pz": sub(wpos[..., 2]),
+        "nx": sub(wnorm[..., 0]), "ny": sub(wnorm[..., 1]), "nz": sub(wnorm[..., 2]),
+        "cr": sub(frame.color[..., 0]), "cg": sub(frame.color[..., 1]),
+        "cb": sub(frame.color[..., 2]),
+        "radius": sub(frame.radius),
+    }
+    cand_s = sub(cand)
+    conf_s = sub(frame.conf)
+    # the association-winner fetch also runs on the subgrid (4x fewer indices)
+    best_idx_s = jnp.where(
+        sub(best_tap) >= 0, jnp.take(imap.index.reshape(-1), sub(src_lin)), -1
+    )
+    merge_s = cand_s & (best_idx_s >= 0)
+    new_s = cand_s & (best_idx_s < 0)
+
+    # --- update pass: scatter-accumulate into per-surfel accumulators (1D
+    # scalar scatters — wide scatter rows are slow on this platform, see
+    # ops/rows.py; the subgrid slice above already cut their cost 4x).
     n = store.capacity
-    tgt = jnp.where(merge, best_idx, n).reshape(-1)
-    a = jnp.where(merge, frame.conf, 0.0).reshape(-1)
+    tgt = jnp.where(merge_s, best_idx_s, n)
+    a = jnp.where(merge_s, conf_s, 0.0)
 
     def acc(col):
         return jnp.zeros((n,), jnp.float32).at[tgt].add(col, mode="drop")
@@ -293,15 +306,14 @@ def fuse(
         last_time=jnp.where(hit, tf, store.last_time),
     )
 
-    # --- new unstable surfels: bounded append — one planar scalar scatter per
-    # attribute (see the update pass for why not row-packed)
-    new_flat = new.reshape(-1)
-    rank = jnp.cumsum(new_flat.astype(jnp.int32)) - 1
-    dest = jnp.where(new_flat, store.count + rank, n)
-    appended = jnp.sum(new_flat.astype(jnp.int32))
+    # --- new unstable surfels: bounded append — one 1D scatter per attribute
+    # over the staggered subgrid (4x fewer indices than full-res)
+    rank = jnp.cumsum(new_s.astype(jnp.int32)) - 1
+    dest = jnp.where(new_s, store.count + rank, n)
+    appended = jnp.sum(new_s.astype(jnp.int32))
     new_count = jnp.minimum(store.count + appended, n)
 
-    tf_col = jnp.full((H * W,), tf)
+    tf_col = jnp.full(new_s.shape, tf)
 
     def put(base, col):
         return base.at[dest].set(col, mode="drop")
@@ -317,7 +329,7 @@ def fuse(
         cg=put(updated.cg, w_cols["cg"]),
         cb=put(updated.cb, w_cols["cb"]),
         radius=put(updated.radius, w_cols["radius"]),
-        conf=put(updated.conf, frame.conf.reshape(-1)),
+        conf=put(updated.conf, conf_s),
         init_time=put(updated.init_time, tf_col),
         last_time=put(updated.last_time, tf_col),
         valid=jnp.arange(n) < new_count,
@@ -371,75 +383,73 @@ def clean_eval(
 
     lin = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
 
-    # --- pre-combined FLAT pixel tables (image-scale, VMEM-resident), one per
-    # channel.  Each window tap then costs a handful of bandwidth-speed SCALAR
-    # gathers; a packed (H*W, C) row table would make every tap's result an
-    # (N, C) array whose per-channel reads are minor-axis relayouts of a
-    # beyond-VMEM array (~60x bandwidth).  The reference's dup window is +/-1
-    # px at half-pixel steps (copy_unstable.vert:76-78,87-88:
-    # windowMultiplier = 2, indexStep = 0.5 px) — 9 distinct texels, matching
-    # this 3x3 tap loop.
+    # --- window taps as ONE row-packed gather set (ops/rows.py).  Every tap
+    # (dy, dx) needs table[lin + off]; with SHIFTED tables that is
+    # shifted_table[lin] — the SAME index set for all 9 taps — so the whole
+    # 3x3 dup window (5 channels/tap) + the 3x3 free-space depth window
+    # (1 channel/tap) + the mask channel fold into 55 shifted channels
+    # gathered by ceil(55/14) = 4 row gathers instead of ~55 scalar gathers
+    # (measured: gather cost is per ROW, ~independent of width to ~16 ch).
+    # The reference's dup window is +/-1 px at half-pixel steps
+    # (copy_unstable.vert:76-78,87-88: windowMultiplier=2, indexStep=0.5 px) —
+    # 9 distinct texels, matching this 3x3 tap set.
     imap_has = imap.valid
     q_conf_ok = imap_has & (imap.vert_conf[..., 3] > conf_threshold)
     zq = imap.vert_conf[..., 2]
     # dup candidates: rendered, confident -> z; else -inf (kills every compare)
-    z_dup = jnp.where(q_conf_ok, zq, -jnp.inf).reshape(-1)
+    z_dup_img = jnp.where(q_conf_ok, zq, -jnp.inf)
     # z-dup additionally requires the rendered surfel updated THIS tick
-    z_zdup = jnp.where(q_conf_ok & (imap.last_time == time), zq, -jnp.inf).reshape(-1)
-    it_q = jnp.where(imap_has, imap.color_time[..., 3], jnp.inf).reshape(-1)
-    qx_t = imap.vert_conf[..., 0].reshape(-1)
-    qy_t = imap.vert_conf[..., 1].reshape(-1)
+    z_zdup_img = jnp.where(q_conf_ok & (imap.last_time == time), zq, -jnp.inf)
+    it_img = jnp.where(imap_has, imap.color_time[..., 3], jnp.inf)
+    qx_img = imap.vert_conf[..., 0]
+    qy_img = imap.vert_conf[..., 1]
+
+    taps = [(dy, dx) for dy in range(-1, 2) for dx in range(-1, 2)]
+    chans = []
+    for dy, dx in taps:
+        chans.append(_shifted(z_dup_img, dy, dx, -jnp.inf))
+        chans.append(_shifted(z_zdup_img, dy, dx, -jnp.inf))
+        chans.append(_shifted(it_img, dy, dx, jnp.inf))
+        chans.append(_shifted(qx_img, dy, dx, 0.0))
+        chans.append(_shifted(qy_img, dy, dx, 0.0))
+        chans.append(_shifted(depth_input, dy, dx, 0.0))
+    if mask is not None:
+        chans.append(mask.astype(jnp.float32))
+    from cofusion_tpu.ops.rows import take_rows
+
+    fetched = take_rows(chans, lin)
 
     count = jnp.zeros((n,), jnp.int32)
     z_count = jnp.zeros((n,), jnp.int32)
+    violations = jnp.zeros((n,), jnp.int32)
+    viol_sum = jnp.zeros((n,), jnp.float32)
 
     steep = jnp.abs(lnz) > 0.85
     rad_gate = store.radius * 1.4
-    for dy in range(-1, 2):
-        for dx in range(-1, 2):
-            off = dy * W + dx
-            oob = (
-                (xi + dx < 0) | (xi + dx >= W) | (yi + dy < 0) | (yi + dy >= H)
-            )
-            ok_tap = ~oob & search_ok
-            li = jnp.clip(lin + off, 0, H * W - 1)
-            zd = jnp.take(z_dup, li)
-            zz = jnp.take(z_zdup, li)
-            it = jnp.take(it_q, li)
-            qx = jnp.take(qx_t, li)
-            qy = jnp.take(qy_t, li)
-            # duplicate: older, confident, behind, close, within radius
-            dup = (
-                ok_tap
-                & (it < store.init_time)
-                & (zd > zl)
-                & (zd - zl < 0.01)
-                & ((qx - lx) ** 2 + (qy - ly) ** 2 < rad_gate * rad_gate)
-            )
-            count = count + dup.astype(jnp.int32)
-            zdup = (
-                ok_tap
-                & (zz > zl)
-                & (zz - zl > 0.01)
-                & steep
-            )
-            z_count = z_count + zdup.astype(jnp.int32)
-
-    # free-space violation: 3x3 depth window, observed depth beyond surfel by
-    # >3cm — per-tap scalar gathers of the shifted depth images
-    dwin_flat = [
-        _shifted(depth_input, dy, dx, 0.0).reshape(-1)
-        for dy in range(-1, 2)
-        for dx in range(-1, 2)
-    ]
-    violations = jnp.zeros((n,), jnp.int32)
-    viol_sum = jnp.zeros((n,), jnp.float32)
-    for k, (dy, dx) in enumerate(
-        (dy, dx) for dy in range(-1, 2) for dx in range(-1, 2)
-    ):
-        oob = (xi + dx < 0) | (xi + dx >= W) | (yi + dy < 0) | (yi + dy >= H)
-        d = jnp.take(dwin_flat[k], lin)
-        viol = search_ok & ~oob & (d - zl > 0.03) & (d > 0)
+    for k, (dy, dx) in enumerate(taps):
+        zd, zz, it, qx, qy, d = fetched[6 * k : 6 * k + 6]
+        oob = (
+            (xi + dx < 0) | (xi + dx >= W) | (yi + dy < 0) | (yi + dy >= H)
+        )
+        ok_tap = ~oob & search_ok
+        # duplicate: older, confident, behind, close, within radius
+        dup = (
+            ok_tap
+            & (it < store.init_time)
+            & (zd > zl)
+            & (zd - zl < 0.01)
+            & ((qx - lx) ** 2 + (qy - ly) ** 2 < rad_gate * rad_gate)
+        )
+        count = count + dup.astype(jnp.int32)
+        zdup = (
+            ok_tap
+            & (zz > zl)
+            & (zz - zl > 0.01)
+            & steep
+        )
+        z_count = z_count + zdup.astype(jnp.int32)
+        # free-space violation: observed depth beyond the surfel by >3cm
+        viol = ok_tap & (d - zl > 0.03) & (d > 0)
         violations = violations + viol.astype(jnp.int32)
         viol_sum = viol_sum + jnp.where(viol, d - zl, 0.0)
 
@@ -466,10 +476,10 @@ def clean_eval(
         has_viol, store.conf / (1.0 + outlier_coeff * avg_viol), store.conf
     )
     if mask is not None:
-        # center depth is window tap (0,0) = index 4; mask is its own flat
-        # table — two more scalar gathers at the same indices
-        m_val = jnp.take(mask.reshape(-1), lin)
-        w_depth = jnp.take(dwin_flat[4], lin)
+        # center depth is window tap (0,0) = tap index 4; the mask rode the
+        # same packed gather as channel 54
+        m_val = fetched[-1]
+        w_depth = fetched[6 * 4 + 5]
         mism = (
             has_viol
             & (m_val != mask_id)

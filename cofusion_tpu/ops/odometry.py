@@ -726,9 +726,16 @@ def track_models(
     cam: CameraConfig,
     cfg: CoFusionConfig,
     params: TrackingParams,
+    icp_weight=None,
 ) -> OdometryResult:
     """All M models' full GN solves as ONE batched program (see the section
     comment above for why this beats unrolling ~Mx).
+
+    `icp_weight` optionally overrides `params.icp_weight` with a TRACED scalar
+    (the reference re-reads its GUI icpWeight Var every frame,
+    MainController.cpp:448-473 — hot-tunable without recompilation).  The
+    icp-only cutoff (weight >= 100 disables the RGB term) stays a static
+    decision from `params` — it selects compiled control flow.
 
     `poses` (M, 4, 4); `frame` is the SHARED unmasked FramePyramid;
     `valid_b` / `rgb_ok_b` are per-level (M, Hl, Wl) mask-gated validity (the
@@ -810,7 +817,7 @@ def track_models(
                 icp_err, icp_cnt = zM, zM
 
             if use_icp and use_rgb:
-                w = params.icp_weight
+                w = params.icp_weight if icp_weight is None else icp_weight
                 A = A_rgb + (w * w) * A_icp
                 b = b_rgb + (w * w if params.consistent_icp_weighting else w) * b_icp
             elif use_icp:

@@ -181,30 +181,32 @@ def _zbuffer(lin, ok, z, idx_dim, n_buckets, capacity, max_depth):
 
 
 def _gather_channels(store, lx, ly, lz, lnx, lny, lnz, i0, has, out_shape):
-    """Gather the rendered surfel's attributes per pixel: one bandwidth-speed
-    SCALAR gather per channel from the planar (N,) arrays, stacked at IMAGE
-    scale where relayouts are VMEM-cheap.
+    """Gather the rendered surfel's attributes per pixel as ONE row-packed
+    gather (ops/rows.py: gather cost is per ROW, ~independent of width — 13
+    scalar takes cost 13x one (N,13) take; the pack itself is an HBM-speed
+    relayout)."""
+    from cofusion_tpu.ops.rows import take_rows
 
-    Packing the channels into (N, C) row tables first is a trap at store
-    scale: the pack itself is a minor-axis relayout of a beyond-VMEM array
-    (~60x bandwidth; it made the 4-model batched render cost 27 ms on a v5e
-    vs ~4 ms planar), costing far more than the 13 scalar gathers it saves."""
-    def g(a):
-        return jnp.take(a, i0, axis=0).reshape(out_shape)
+    (glx, gly, glz, gconf, gnx, gny, gnz, grad, gcr, gcg, gcb, git, glt) = take_rows(
+        (lx, ly, lz, store.conf, lnx, lny, lnz, store.radius,
+         store.cr, store.cg, store.cb, store.init_time, store.last_time),
+        i0,
+    )
+
+    def r(a):
+        return a.reshape(out_shape)
 
     hasx = has.reshape(out_shape)
     hx = hasx[..., None]
-    vert_conf = jnp.stack([g(lx), g(ly), g(lz), g(store.conf)], axis=-1)
-    normal_rad = jnp.stack([g(lnx), g(lny), g(lnz), g(store.radius)], axis=-1)
-    color_time = jnp.stack(
-        [g(store.cr), g(store.cg), g(store.cb), g(store.init_time)], axis=-1
-    )
+    vert_conf = jnp.stack([r(glx), r(gly), r(glz), r(gconf)], axis=-1)
+    normal_rad = jnp.stack([r(gnx), r(gny), r(gnz), r(grad)], axis=-1)
+    color_time = jnp.stack([r(gcr), r(gcg), r(gcb), r(git)], axis=-1)
     return IndexMap(
         index=jnp.where(hasx, i0.reshape(out_shape), -1),
         vert_conf=jnp.where(hx, vert_conf, 0.0),
         normal_rad=jnp.where(hx, normal_rad, 0.0),
         color_time=jnp.where(hx, color_time, 0.0),
-        last_time=jnp.where(hasx, g(store.last_time), 0.0),
+        last_time=jnp.where(hasx, r(glt), 0.0),
         valid=hasx,
     )
 
@@ -295,30 +297,35 @@ def predict_indices_b(
     has = ibuf < N
     i0 = jnp.where(has, ibuf, 0)
 
-    # attribute fetch: ONE flat scalar gather per channel for ALL models (the
-    # model index folds into the flat source index; an (M, N) leaf reshaped to
-    # (M*N,) is contiguous, i.e. free) — see _gather_channels for why planar
-    # gathers beat packed row tables at this scale
+    # attribute fetch: the model index folds into the flat source index (an
+    # (M, N) leaf reshaped to (M*N,) is contiguous, i.e. free) and ALL 13
+    # channels ride ONE row-packed gather (ops/rows.py)
     gi = (
         jax.lax.broadcasted_iota(jnp.int32, (M, H * W), 0) * N + i0
     ).reshape(-1)
 
-    def g(a):
-        return jnp.take(a.reshape(-1), gi).reshape(M, H, W)
+    from cofusion_tpu.ops.rows import take_rows
+
+    (glx, gly, glz, gconf, gnx, gny, gnz, grad, gcr, gcg, gcb, git, glt) = take_rows(
+        (lx, ly, lz, store.conf, lnx, lny, lnz, store.radius,
+         store.cr, store.cg, store.cb, store.init_time, store.last_time),
+        gi,
+    )
+
+    def r(a):
+        return a.reshape(M, H, W)
 
     hasx = has.reshape(M, H, W)
     hx = hasx[..., None]
-    vert_conf = jnp.stack([g(lx), g(ly), g(lz), g(store.conf)], axis=-1)
-    normal_rad = jnp.stack([g(lnx), g(lny), g(lnz), g(store.radius)], axis=-1)
-    color_time = jnp.stack(
-        [g(store.cr), g(store.cg), g(store.cb), g(store.init_time)], axis=-1
-    )
+    vert_conf = jnp.stack([r(glx), r(gly), r(glz), r(gconf)], axis=-1)
+    normal_rad = jnp.stack([r(gnx), r(gny), r(gnz), r(grad)], axis=-1)
+    color_time = jnp.stack([r(gcr), r(gcg), r(gcb), r(git)], axis=-1)
     return IndexMap(
         index=jnp.where(hasx, i0.reshape(M, H, W), -1),
         vert_conf=jnp.where(hx, vert_conf, 0.0),
         normal_rad=jnp.where(hx, normal_rad, 0.0),
         color_time=jnp.where(hx, color_time, 0.0),
-        last_time=jnp.where(hasx, g(store.last_time), 0.0),
+        last_time=jnp.where(hasx, r(glt), 0.0),
         valid=hasx,
     )
 
@@ -328,39 +335,62 @@ def splat_from_imap(imap: IndexMap, cam: CameraConfig, cfg: CoFusionConfig) -> S
     view ray l = ((u-cx)/fx, (v-cy)/fy, 1)/|.|; for each candidate surfel s in
     the (2r+1)^2 neighborhood of the index render, intersect the ray with the
     disk (combo_splat.frag:37-49): t = (p_s . n_s)/(l . n_s), keep if
-    |t l - p_s|^2 <= radius^2, z-test on (t l).z.  Static shifts over VMEM-
-    resident images — vmap-safe."""
+    |t l - p_s|^2 <= radius^2, z-test on (t l).z.
+
+    Accepts single (H, W, ...) or batched (M, H, W, ...) index maps — the
+    batch folds into flat gather indices (do NOT vmap this function: a vmapped
+    gather lowers to XLA's batched form, orders of magnitude off the fast
+    path).  Phase 1 is static shifts over a packed geometry image; phase 2
+    fetches the winner's 9 attributes with ONE row-packed gather (ops/rows.py).
+    """
     H, W = cam.height, cam.width
-    from cofusion_tpu.ops.preprocess import _shifted
+    batched = imap.last_time.ndim == 3
+    B = imap.last_time.shape[0] if batched else 1
+
+    def b3(a):  # canonicalize to (B, H, W, ...) leaves
+        return a if batched else a[None]
+
+    vert_conf = b3(imap.vert_conf)
+    normal_rad = b3(imap.normal_rad)
+    color_time = b3(imap.color_time)
+    last_time = b3(imap.last_time)
+    ivalid = b3(imap.valid)
+
+    def shifted_b(x, dy, dx, fill=0.0):
+        # out[b, y, x] = x[b, y+dy, x+dx]
+        pt, pb = max(0, -dy), max(0, dy)
+        pl, pr = max(0, -dx), max(0, dx)
+        pad = [(0, 0), (pt, pb), (pl, pr)] + [(0, 0)] * (x.ndim - 3)
+        xp = jnp.pad(x, pad, constant_values=fill)
+        return jax.lax.slice(
+            xp,
+            (0, pt + dy, pl + dx) + (0,) * (x.ndim - 3),
+            (B, pt + dy + H, pl + dx + W) + x.shape[3:],
+        )
 
     u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     lx = (u - cam.cx) / cam.fx
     ly = (v - cam.cy) / cam.fy
     lnorm = jnp.sqrt(lx * lx + ly * ly + 1.0)
-    l = jnp.stack([lx / lnorm, ly / lnorm, 1.0 / lnorm], axis=-1)
+    l = jnp.stack([lx / lnorm, ly / lnorm, 1.0 / lnorm], axis=-1)[None]  # (1,H,W,3)
 
     r = cfg.splat_radius
-    # two-phase tap window (instead of selecting ~8 attribute channels per
-    # tap): phase 1 shifts ONE packed (H, W, 8) geometry image per tap and
-    # tracks only (best_z, winning tap id); phase 2 fetches the winner's full
-    # attributes with a handful of flat gathers.  Cuts the per-tap pass count
-    # ~4x (measured 11 ms -> ~3 ms for the 4-model window at radius 3).
     geo = jnp.concatenate(
         [
-            imap.vert_conf[..., :3],
-            imap.normal_rad[..., :4],
-            imap.valid[..., None].astype(jnp.float32),
+            vert_conf[..., :3],
+            normal_rad[..., :4],
+            ivalid[..., None].astype(jnp.float32),
         ],
         axis=-1,
-    )  # (H, W, 8): pos, normal, radius, valid
+    )  # (B, H, W, 8): pos, normal, radius, valid
 
-    best_z = jnp.full((H, W), jnp.inf)
-    best_tap = jnp.full((H, W), -1, jnp.int32)
+    best_z = jnp.full((B, H, W), jnp.inf)
+    best_tap = jnp.full((B, H, W), -1, jnp.int32)
     k = 0
     for dy in range(-r, r + 1):
         for dx in range(-r, r + 1):
-            g = _shifted(geo, dy, dx, 0.0)
+            g = shifted_b(geo, dy, dx, 0.0)
             cpos = g[..., 0:3]
             cnorm = g[..., 3:6]
             crad = g[..., 6]
@@ -385,39 +415,42 @@ def splat_from_imap(imap: IndexMap, cam: CameraConfig, cfg: CoFusionConfig) -> S
     side = 2 * r + 1
     tap = jnp.maximum(best_tap, 0)
     sy = jnp.clip(
-        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) + tap // side - r, 0, H - 1
+        jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1) + tap // side - r, 0, H - 1
     )
     sx = jnp.clip(
-        jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) + tap % side - r, 0, W - 1
+        jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2) + tap % side - r, 0, W - 1
     )
-    src = (sy * W + sx).reshape(-1)
+    bofs = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 0) * (H * W)
+    src = (bofs + sy * W + sx).reshape(-1)
 
-    def gf(ch):
-        return jnp.take(ch.reshape(-1), src).reshape(H, W)
+    from cofusion_tpu.ops.rows import take_rows
 
-    conf = jnp.where(valid, gf(imap.vert_conf[..., 3]), 0.0)
-    nx_ = jnp.where(valid, gf(imap.normal_rad[..., 0]), 0.0)
-    ny_ = jnp.where(valid, gf(imap.normal_rad[..., 1]), 0.0)
-    nz_ = jnp.where(valid, gf(imap.normal_rad[..., 2]), 0.0)
-    rad = jnp.where(valid, gf(imap.normal_rad[..., 3]), 0.0)
-    col = jnp.stack(
-        [jnp.where(valid, gf(imap.color_time[..., c]), 0.0) for c in range(3)],
-        axis=-1,
+    fetched = take_rows(
+        (vert_conf[..., 3], normal_rad[..., 0], normal_rad[..., 1],
+         normal_rad[..., 2], normal_rad[..., 3], color_time[..., 0],
+         color_time[..., 1], color_time[..., 2], last_time),
+        src,
     )
-    ltime = jnp.where(valid, gf(imap.last_time), 0.0)
+    conf, nx_, ny_, nz_, rad, c0, c1, c2, ltime = (
+        jnp.where(valid, f.reshape(B, H, W), 0.0) for f in fetched
+    )
+    col = jnp.stack([c0, c1, c2], axis=-1)
 
     # reference reconstructs the vertex from the corrected depth along the pixel
     # ray (combo_splat.frag:53-55)
     z = jnp.where(valid, best_z, 0.0)
-    vx = (u - cam.cx) * z / cam.fx
-    vy = (v - cam.cy) * z / cam.fy
-    return SplatMap(
+    vx = (u[None] - cam.cx) * z / cam.fx
+    vy = (v[None] - cam.cy) * z / cam.fy
+    out = SplatMap(
         image=col,
         vert_conf=jnp.stack([vx, vy, z, conf], axis=-1),
         normal_rad=jnp.stack([nx_, ny_, nz_, rad], axis=-1),
         time=ltime,
         valid=valid,
     )
+    if not batched:
+        out = jax.tree.map(lambda a: a[0], out)
+    return out
 
 
 def splat_predict(
@@ -450,13 +483,15 @@ def splat_predict_b(
     conf_threshold: jnp.ndarray,
     active_window: bool = True,
 ) -> SplatMap:
-    """Batched `splat_predict`: flat-index batched point render + vmapped
-    window splatting (the window pass is static shifts — vmap-safe)."""
+    """Batched `splat_predict`: flat-index batched point render + batch-aware
+    window splatting (splat_from_imap folds the model axis into its gather
+    indices — NOT a vmap, which would lower the phase-2 row gather to XLA's
+    batched form)."""
     imap = predict_indices_b(
         store, poses, cam, time, time_delta, max_depth,
         conf_threshold=conf_threshold, active_window=active_window,
     )
-    return jax.vmap(lambda im: splat_from_imap(im, cam, cfg))(imap)
+    return splat_from_imap(imap, cam, cfg)
 
 
 def splat_merge(a: SplatMap, b: SplatMap) -> SplatMap:

@@ -84,16 +84,18 @@ def slic_assign(
     pos_norm = coh / (S * S)
 
     def centers_of(assign):
-        # center accumulation from a 2x2-strided pixel subset (4x cheaper
-        # scatter; the means are statistically identical at S>=8) with one
-        # packed 6-channel row scatter-add [1, x, y, r, g, b]
+        # center accumulation from a 2x2-strided pixel subset (4x cheaper;
+        # means statistically identical at S>=8) with SIX 1D scatter-adds —
+        # wide scatter rows are the slow form on this platform (ops/rows.py:
+        # scatter-set (K,8) measured ~19x the 1D cost); 1D adds are per-index
         a_s = assign[::2, ::2].reshape(-1)
         feat_s = feat[::2, ::2].reshape(-1, 5)
-        upd = jnp.concatenate(
-            [jnp.ones((a_s.shape[0], 1), jnp.float32), feat_s], axis=-1
-        )
-        acc = jnp.zeros((K, 6), jnp.float32).at[a_s].add(upd)
-        return acc[:, 1:] / jnp.maximum(acc[:, :1], 1.0)
+        cnt = jnp.zeros((K,), jnp.float32).at[a_s].add(1.0)
+        sums = [
+            jnp.zeros((K,), jnp.float32).at[a_s].add(feat_s[:, c])
+            for c in range(5)
+        ]
+        return jnp.stack(sums, axis=-1) / jnp.maximum(cnt[:, None], 1.0)
 
     assign = base_assign
 
@@ -146,21 +148,26 @@ def downsample_mean(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Superpixel means (Slic::downsample / downsampleThresholded).  Returns
     (means (K,[C]), counts (K,))."""
-    flat = assign.reshape(-1)
+    # 2x2-strided subset (4x fewer scatter indices; superpixels are >= S px so
+    # the means are statistically identical) + per-channel 1D scatter-adds
+    # (wide scatter rows are the slow form on this platform, ops/rows.py)
+    a_s = assign[::2, ::2]
+    flat = a_s.reshape(-1)
+    img_s = img[::2, ::2]
     if img.ndim == 2:
-        vals = img.reshape(-1, 1)
+        chans = [img_s.reshape(-1)]
     else:
-        vals = img.reshape(-1, img.shape[-1])
-    ok = jnp.ones((vals.shape[0],), bool)
+        chans = [img_s[..., c].reshape(-1) for c in range(img.shape[-1])]
+    ok = jnp.ones((flat.shape[0],), bool)
     if min_threshold is not None:
-        ok = vals[:, 0] > min_threshold
+        ok = chans[0] > min_threshold
     w = ok.astype(jnp.float32)
     cnt = jnp.zeros((K,), jnp.float32).at[flat].add(w)
-    sums = jnp.zeros((K, vals.shape[1]), jnp.float32).at[flat].add(vals * w[:, None])
-    means = sums / jnp.maximum(cnt[:, None], 1.0)
+    sums = [jnp.zeros((K,), jnp.float32).at[flat].add(c * w) for c in chans]
+    denom = jnp.maximum(cnt, 1.0)
     if img.ndim == 2:
-        means = means[:, 0]
-    return means, cnt
+        return sums[0] / denom, cnt
+    return jnp.stack(sums, axis=-1) / denom[:, None], cnt
 
 
 def downsample_mean_b(imgs: jnp.ndarray, assign: jnp.ndarray, K: int) -> jnp.ndarray:
@@ -170,8 +177,9 @@ def downsample_mean_b(imgs: jnp.ndarray, assign: jnp.ndarray, K: int) -> jnp.nda
     the batched render) — instead the model index folds into the flat bucket
     index so the accumulation stays ONE plain 1D scatter-add."""
     M = imgs.shape[0]
-    flat_assign = (assign[None] + jnp.arange(M)[:, None, None] * K).reshape(-1)
-    vals = imgs.reshape(-1)
+    a_s = assign[::2, ::2]
+    flat_assign = (a_s[None] + jnp.arange(M)[:, None, None] * K).reshape(-1)
+    vals = imgs[:, ::2, ::2].reshape(-1)
     cnt = jnp.zeros((M * K,), jnp.float32).at[flat_assign].add(1.0)
     sums = jnp.zeros((M * K,), jnp.float32).at[flat_assign].add(vals)
     return (sums / jnp.maximum(cnt, 1.0)).reshape(M, K)

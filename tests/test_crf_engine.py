@@ -42,16 +42,18 @@ def crf_run(small_cam):
     cam_poses = camera_trajectory(n, kind="orbit", scale=0.4)
     obj_poses = [base.copy() for _ in range(n_warm)] + [jump @ base for _ in range(n_after)]
     frames = []
+    gt_masks = []
     for i in range(n):
         rgb, depth, mask = scene.render(small_cam, cam_poses[i], object_poses={1: obj_poses[i]})
         frames.append({"rgb": rgb, "depth": depth, "mask": None, "timestamp": i})
+        gt_masks.append(np.asarray(mask))
     for f in frames:
         engine.process_frame(f)
-    return engine, cam_poses, obj_poses, n
+    return engine, cam_poses, obj_poses, n, gt_masks
 
 
 def test_crf_spawns_object_model(crf_run):
-    engine, gt_cam, gt_obj, n = crf_run
+    engine, gt_cam, gt_obj, n, gt_masks = crf_run
     active = np.asarray(engine.state.models.active)
     assert active[0]
     assert active[1:].any(), "teleported object never segmented"
@@ -60,17 +62,33 @@ def test_crf_spawns_object_model(crf_run):
 
 
 def test_crf_camera_accuracy(crf_run):
-    engine, gt_cam, gt_obj, n = crf_run
+    engine, gt_cam, gt_obj, n, gt_masks = crf_run
     log = engine.materialized_pose_log()
     errs = [np.linalg.norm(log[i][1][0][:3, 3] - gt_cam[i][:3, 3]) for i in range(n)]
     # the teleport frame pollutes background tracking briefly; bounded error
     assert np.sqrt(np.mean(np.square(errs))) < 0.015, errs
 
 
-def test_crf_segmentation_labels_object(crf_run):
-    engine, gt_cam, gt_obj, n = crf_run
-    seg = np.asarray(engine.state.prev_mask)
+def _iou(a: np.ndarray, b: np.ndarray) -> float:
+    inter = float(np.logical_and(a, b).sum())
+    union = float(np.logical_or(a, b).sum())
+    return inter / union if union else 0.0
+
+
+def test_crf_segmentation_iou(crf_run):
+    """Per-frame IoU of the CRF mask vs the renderer's exact GT mask
+    (BASELINE.md 'IoU within 0.5 pt'; dataset-tools README.md:31).  The masks
+    come from the engine's device ring exactly as '-es' exports would."""
+    engine, gt_cam, gt_obj, n, gt_masks = crf_run
     active = np.asarray(engine.state.models.active)
     slot = 1 + int(np.argmax(active[1:]))
-    frac = (seg == slot).mean()
-    assert 0.01 < frac < 0.75, frac
+    ious = {}
+    for tick, seg in engine.drain_segmentation(flush=True):
+        i = tick - 1  # frame i is processed at tick i+1
+        if 0 <= i < n:
+            ious[i] = _iou(seg == slot, gt_masks[i] == 1)
+    # settled frames = the last two (object spawned after the frame-6 teleport,
+    # then the map needs a frame to believe it); suppressed-255 startup frames
+    # have IoU 0 by construction
+    settled = [ious[i] for i in (n - 2, n - 1)]
+    assert min(settled) > 0.6, ious

@@ -31,19 +31,7 @@ def main():
     depth = jnp.ones(cam.shape, jnp.float32)
     mask = jnp.zeros(cam.shape, jnp.int32)
     state = engine._init_state(rgb, depth, mask)
-    fparams = dict(
-        depth_cutoff=jnp.float32(4.5), outlier_coeff=jnp.float32(3.0),
-        weight_multiplier=jnp.float32(1.0), time_delta=jnp.int32(cfg.time_delta),
-        new_slot=jnp.int32(-1), allow_new=jnp.bool_(False),
-        gt_masks=jnp.bool_(False), spawn_offset=jnp.int32(4),
-        conf_object=jnp.float32(0.01), deactivate_count=jnp.int32(3),
-        fern_min_age=jnp.int32(300), fern_icp_thresh=jnp.float32(3e-4),
-        fern_photo_thresh=jnp.float32(115.0), fern_thresh=jnp.float32(0.3095),
-        ftf=jnp.bool_(False),
-        gt_pose=jnp.eye(4, dtype=jnp.float32),
-        loop_cov_thresh=jnp.float32(1e-5), loop_err_thresh=jnp.float32(5e-5),
-        loop_count_thresh=jnp.float32(40000.0),
-    )
+    fparams = engine._make_fparams(1.0, -1, True, None, None)
 
     fn = functools.partial(
         _step, cam=cam, cfg=cfg, tparams=engine.tracking,

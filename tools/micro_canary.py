@@ -27,11 +27,11 @@ def canary(tag):
         _canary_fn = jax.jit(lambda t, i: jnp.take(t, i))
         jax.block_until_ready((_table, _idx))
     out = _canary_fn(_table, _idx)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
     t0 = time.perf_counter()
     for _ in range(10):
         out = _canary_fn(_table, _idx)
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
     print(f"canary[{tag:32s}] {(time.perf_counter()-t0)/10*1000:9.3f} ms", flush=True)
 
 

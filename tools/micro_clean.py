@@ -25,8 +25,8 @@ from cofusion_tpu.ops.lie import invert_rt
 
 def drain(x):
     for leaf in jax.tree.leaves(x):
-        if hasattr(leaf, "block_until_ready"):
-            leaf.block_until_ready()
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[:1])
             return
     np.asarray(jax.tree.leaves(x)[0])
 

@@ -19,7 +19,8 @@ from cofusion_tpu.ops.lie import invert_rt
 
 
 def drain(x):
-    jax.tree.leaves(x)[0].block_until_ready()
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf.ravel()[:1] if hasattr(leaf, 'ravel') else leaf)
 
 
 def timeit(name, fn, *args, reps=10):

@@ -17,7 +17,8 @@ import numpy as np
 
 
 def drain(x):
-    jax.tree.leaves(x)[0].block_until_ready()
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(leaf.ravel()[:1] if hasattr(leaf, 'ravel') else leaf)
 
 
 def timeit(name, fn, *args, reps=30):

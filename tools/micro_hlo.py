@@ -28,11 +28,11 @@ slow3 = jax.jit(lambda a, b, i: (jnp.take(a, i), jnp.take(b, i)))
 
 def timeit(name, fn, *args, reps=10):
     out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
     print(f"{name:40s} {(time.perf_counter()-t0)/reps*1000:9.3f} ms", flush=True)
 
 timeit("1 gather (arg table)", fast, px, idx)

@@ -42,11 +42,11 @@ valid = jnp.ones((N,), bool)
 
 def timeit(name, fn, *args, reps=10):
     out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
     print(f"{name:52s} {(time.perf_counter()-t0)/reps*1000:9.3f} ms", flush=True)
 
 g13 = lambda store, i: tuple(jnp.take(getattr(store, f), i) for f in sm._FLOAT_FIELDS)

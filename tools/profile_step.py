@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from cofusion_tpu.config import CameraConfig, CoFusionConfig, FusionParams, TrackingParams
 from cofusion_tpu.engine import CoFusion, _fuse_clean_all, _fusion_weight
 from cofusion_tpu.ops import fusion as fu
@@ -82,27 +84,7 @@ def main():
     rgb = jnp.asarray(f["rgb"], jnp.float32)
     depth = jnp.asarray(f["depth"], jnp.float32)
     mask = jnp.zeros(cam.shape, jnp.int32)
-    fparams = dict(
-        depth_cutoff=jnp.float32(4.5),
-        outlier_coeff=jnp.float32(3.0),
-        weight_multiplier=jnp.float32(1.0),
-        time_delta=jnp.int32(cfg.time_delta),
-        new_slot=jnp.int32(-1),
-        allow_new=jnp.bool_(False),
-        gt_masks=jnp.bool_(False),
-        spawn_offset=jnp.int32(4),
-        conf_object=jnp.float32(0.01),
-        deactivate_count=jnp.int32(3),
-        fern_min_age=jnp.int32(300),
-        fern_icp_thresh=jnp.float32(3e-4),
-        fern_photo_thresh=jnp.float32(115.0),
-        fern_thresh=jnp.float32(0.3095),
-        ftf=jnp.bool_(False),
-        gt_pose=jnp.eye(4, dtype=jnp.float32),
-        loop_cov_thresh=jnp.float32(1e-5),
-        loop_err_thresh=jnp.float32(5e-5),
-        loop_count_thresh=jnp.float32(40000.0),
-    )
+    fparams = engine._make_fparams(1.0, -1, True, None, None)
     td = fparams["time_delta"]
     dc = jnp.full((M,), 4.5)
     reps = args.reps
