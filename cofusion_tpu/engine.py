@@ -89,6 +89,13 @@ class EngineState(NamedTuple):
     mask_history: jnp.ndarray   # (R, H, W) uint8 segmentation ring — '-es'
     #   exports drain it in bulk (one transfer per R frames) so the async host
     #   loop never blocks on a per-frame mask readback
+    pred: object                # SplatMap with (M, H, W[, C]) leaves — the
+    #   tracking/segmentation prediction CARRIED FORWARD from the previous
+    #   frame's post-fuse render (built by splatting _fuse_clean_all's overlay
+    #   imaps), replacing the reference's start-of-frame combinedPredict.  The
+    #   content matches a fresh render of (map after frame t-1's fuse, pose
+    #   t-1) — exactly what combinedPredict would draw at the start of frame t
+    #   — except frame t-1's clean removals, which linger one frame.
 
 
 class FrameOutputs(NamedTuple):
@@ -104,6 +111,15 @@ class FrameOutputs(NamedTuple):
     active: jnp.ndarray         # (M,) bool
     spawned: jnp.ndarray        # () bool — a new model was created this frame
     loop_closed: jnp.ndarray    # () bool — a local loop closure deformed the map
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def _render_pred_init(store, poses, conf_threshold, tick, time_delta, depth_cutoff,
+                      *, cam, cfg):
+    """One-off batched prediction render used to seed EngineState.pred."""
+    return rz.splat_predict_b(
+        store, poses, cam, cfg, tick, time_delta, depth_cutoff, conf_threshold
+    )
 
 
 def _fusion_weight(pose: jnp.ndarray, prev_pose: jnp.ndarray, multiplier) -> jnp.ndarray:
@@ -264,6 +280,16 @@ class CoFusion:
             fern_db = fern_ops.new_db(cam, max_depth_mm=fp.depth_cutoff * 1000.0)
         else:
             fern_db = jnp.int32(0)  # placeholder leaf
+        # seed the carried prediction with a one-off render of the initialised
+        # map (thereafter _step maintains it from the post-fuse overlay imaps,
+        # one render pass per frame) — frame 2 sees exactly what a
+        # start-of-frame combinedPredict would draw
+        pred = _render_pred_init(
+            models.store, models.pose, models.conf_threshold, jnp.int32(1),
+            jnp.int32(cfg.time_delta),
+            jnp.full((M,), fp.depth_cutoff, jnp.float32),
+            cam=cam, cfg=cfg,
+        )
         return EngineState(
             models=models,
             tick=jnp.int32(1),
@@ -279,6 +305,7 @@ class CoFusion:
             mask_history=jnp.zeros(
                 (cfg.mask_ring_frames,) + cam.shape, jnp.uint8
             ),
+            pred=pred,
         )
 
     # ------------------------------------------------------------------
@@ -817,11 +844,12 @@ def _step(
         )
 
     # --- per-model prediction (tracking targets) --------------------------
-    # batched flat-index render: one z-buffer scatter for ALL models
-    splat = rz.splat_predict_b(
-        models.store, models.pose, cam, cfg, state.tick, fparams["time_delta"],
-        jnp.full((M,), fparams["depth_cutoff"]), models.conf_threshold,
-    )
+    # CARRIED from the previous frame's post-fuse render (state.pred) — the
+    # start-of-frame combinedPredict re-render the reference performs
+    # (CoFusion.cpp:541 + ModelProjection) would draw the same content (same
+    # map, same pose; only the previous clean's removals differ, one frame
+    # stale), so the whole frame needs ONE render pass instead of three.
+    splat = state.pred
 
     # --- FillIn (global model only, CoFusion.cpp:541): composite the previous
     # frame's raw data into prediction holes so tracking degrades to
@@ -1327,10 +1355,15 @@ def _step(
     # motionless (its velocity fusion weight is the wmult=100 bootstrap)
     prev_pose_eff = jnp.where(is_new_slot[:, None, None], new_pose, models.pose)
     weight = jax.vmap(_fusion_weight)(new_pose, prev_pose_eff, wmult)
-    new_stores, new_stables = _fuse_clean_all(
+    new_stores, new_stables, imap_b = _fuse_clean_all(
         stores_in, stables_in, new_pose, weight, models.model_id,
         models.conf_threshold, active_fuse, model_max_depth, depth, filtered,
         rgb, mask, multi, cam, cfg, tick, fparams,
+    )
+    # next frame's tracking/segmentation prediction: ONE batched window-splat
+    # over the post-fuse renders, conf-gated per model (splat.vert:58)
+    pred_new = rz.splat_from_imap(
+        imap_b, cam, cfg, conf_threshold=new_conf_threshold
     )
 
     so3_ref = intensity
@@ -1365,6 +1398,7 @@ def _step(
         mask_history=state.mask_history.at[(tick - 1) % cfg.mask_ring_frames].set(
             mask.astype(jnp.uint8)
         ),
+        pred=pred_new,
     )
     outputs = FrameOutputs(
         poses=new_pose,
@@ -1392,13 +1426,19 @@ def _fuse_clean_all(
     predictIndices -> clean for every model), plus the two-tier maintenance
     step: survivors that aged out of the active time window are expelled into
     the append-only stable tier.  Returns (new_active_stores,
-    new_stable_stores).
+    new_stable_stores, post_fuse_imaps) — the stacked (M,...) post-fuse index
+    renders double as the source of the NEXT frame's tracking prediction
+    (state.pred), so the whole frame performs exactly ONE z-buffer render per
+    model (the reference renders three: combinedPredict + fuse's + clean's).
+    The clean render is replaced by fu.overlay_imap (pixel-local patch of the
+    fuse render — no second z-buffer).
 
     The model axis is UNROLLED in Python (it is static and small): each
     per-model op then contains only plain 1D scatters/gathers on one model's
     (A,) arrays — the TPU fast path.  A vmap here lowers the scatters to XLA's
     batched forms, measured ~2 orders of magnitude slower."""
     M = int(new_pose.shape[0])
+    H, W = cam.height, cam.width
     tickf = tick.astype(jnp.float32)
     td_f = fparams["time_delta"].astype(jnp.float32)
 
@@ -1409,10 +1449,11 @@ def _fuse_clean_all(
         imap = rz.predict_indices(
             store, pose, cam, tick, fparams["time_delta"], max_d
         )
-        fused = fu.fuse(store, fs, depth, imap, mask_ok, pose, cam, cfg, tick, max_d)
-        imap2 = rz.predict_indices(
-            fused, pose, cam, tick, fparams["time_delta"], max_d
+        fused, aux = fu.fuse(
+            store, fs, depth, imap, mask_ok, pose, cam, cfg, tick, max_d,
+            return_aux=True,
         )
+        imap2 = fu.overlay_imap(fused, imap, aux, fs, pose, cam, tick)
         cleaned, keep = fu.clean_eval(
             fused, imap2, filtered, mask if multi else None, model_id, pose, cam, cfg,
             tick, fparams["time_delta"], conf_threshold, fparams["outlier_coeff"],
@@ -1420,14 +1461,25 @@ def _fuse_clean_all(
         # age-out migration: surfels past the time window (the clean pass keeps
         # them — copy_unstable.vert:136 immunity — but per-frame passes never
         # need them again) move to the stable tier
-        aged = (cleaned.last_time > 0) & ((tickf - cleaned.last_time) > td_f)
-        return sm.expel_split(cleaned, keep, aged, cfg.expel_block)
+        out, blk = sm.expel_split(
+            cleaned, keep,
+            (cleaned.last_time > 0) & ((tickf - cleaned.last_time) > td_f),
+            cfg.expel_block,
+        )
+        return out, blk, imap2
 
     def idle_one(op):
         store = op[0]
-        return store, sm.empty_store(cfg.expel_block)
+        z1 = jnp.zeros((H, W), jnp.float32)
+        z4 = jnp.zeros((H, W, 4), jnp.float32)
+        empty_imap = rz.IndexMap(
+            index=jnp.full((H, W), -1, jnp.int32),
+            vert_conf=z4, normal_rad=z4, color_time=z4,
+            last_time=z1, valid=jnp.zeros((H, W), bool),
+        )
+        return store, sm.empty_store(cfg.expel_block), empty_imap
 
-    outs, blks = [], []
+    outs, blks, imaps = [], [], []
     for m in range(M):
         one = lambda a: a[m]
         op = (
@@ -1435,12 +1487,14 @@ def _fuse_clean_all(
             conf_thresholds[m], model_max_depth[m],
         )
         # inactive slots skip the whole fuse/clean pipeline at runtime
-        out_m, blk_m = jax.lax.cond(active_fuse[m], fuse_clean_one, idle_one, op)
+        out_m, blk_m, imap_m = jax.lax.cond(active_fuse[m], fuse_clean_one, idle_one, op)
         outs.append(out_m)
         blks.append(blk_m)
+        imaps.append(imap_m)
     new_stores = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
     blks_b = jax.tree.map(lambda *xs: jnp.stack(xs), *blks)
-    return new_stores, _append_expel_blocks(stables, blks_b, cfg)
+    imap_b = jax.tree.map(lambda *xs: jnp.stack(xs), *imaps)
+    return new_stores, _append_expel_blocks(stables, blks_b, cfg), imap_b
 
 
 def _append_expel_blocks(stables, blks, cfg):
@@ -1503,11 +1557,15 @@ def _step_gt_pose(
     wmult = jnp.full((M,), fparams["weight_multiplier"])
     weight = jax.vmap(_fusion_weight)(new_pose, models.pose, wmult)
     model_max_depth = jnp.full((M,), fparams["depth_cutoff"])
-    new_stores, new_stables = _fuse_clean_all(
+    new_stores, new_stables, imap_b = _fuse_clean_all(
         models.store, models.stable, new_pose, weight, models.model_id,
         models.conf_threshold, models.active, model_max_depth, depth, filtered,
         rgb, mask, multi, cam, cfg, tick, fparams,
     )
+    # '-p' skips tracking/segmentation entirely, so nothing consumes the
+    # prediction: keep the window-splat off this graph and carry state.pred
+    # through unchanged (mixing GT-pose and tracked frames in one run is not a
+    # supported mode — the reference's -p path is all-frames too)
     so3_ref = intensity
     for _ in range(cfg.pyramid_levels - 1):
         so3_ref = pp.pyr_down_gauss(so3_ref)
@@ -1535,6 +1593,7 @@ def _step_gt_pose(
         mask_history=state.mask_history.at[(tick - 1) % cfg.mask_ring_frames].set(
             mask.astype(jnp.uint8)
         ),
+        pred=state.pred,
     )
     zm = jnp.zeros((M,), jnp.float32)
     outputs = FrameOutputs(

@@ -51,6 +51,16 @@ class FrameSurfels(NamedTuple):
     valid: jnp.ndarray    # (H, W)
 
 
+class FuseAux(NamedTuple):
+    """Where `fuse` appended new surfels, in image space — enough to update an
+    index render to the post-fuse map WITHOUT re-rendering (overlay_imap)."""
+
+    new_s: jnp.ndarray   # stagger-subgrid flat bool: appended at this pixel
+    dest: jnp.ndarray    # stagger-subgrid flat int32 append row (>=count = dropped)
+    count: jnp.ndarray   # () int32 post-append count (rows >= it were dropped)
+    phase: jnp.ndarray   # () int32 stagger phase (time % 2)
+
+
 def _get_vertex(depth, cam: CameraConfig):
     H, W = depth.shape
     x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
@@ -142,6 +152,7 @@ def fuse(
     cfg: CoFusionConfig,
     time,
     max_depth,
+    return_aux: bool = False,
 ) -> SurfelStore:
     """One fuse step: associate each (decimated) input pixel with a map surfel via
     the index render, merge matched measurements (confidence-weighted running
@@ -149,6 +160,9 @@ def fuse(
 
     `mask_ok`: pixels belonging to this model (data.vert:117 mask == maskID).
     `pose`: model pose (camera-to-world) used to lift measurements to world frame.
+    `return_aux`: additionally return FuseAux (image-space append locations) so
+    the caller can build the post-fuse index render by overlay (overlay_imap)
+    instead of a second z-buffer pass.
     """
     H, W = raw_depth.shape
     x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -318,7 +332,7 @@ def fuse(
     def put(base, col):
         return base.at[dest].set(col, mode="drop")
 
-    return SurfelStore(
+    out = SurfelStore(
         px=put(updated.px, w_cols["px"]),
         py=put(updated.py, w_cols["py"]),
         pz=put(updated.pz, w_cols["pz"]),
@@ -334,6 +348,112 @@ def fuse(
         last_time=put(updated.last_time, tf_col),
         valid=jnp.arange(n) < new_count,
         count=new_count,
+    )
+    if return_aux:
+        return out, FuseAux(new_s=new_s, dest=dest, count=new_count, phase=p)
+    return out
+
+
+def overlay_imap(
+    fused: SurfelStore,
+    imap: IndexMap,
+    aux: FuseAux,
+    frame: FrameSurfels,
+    pose: jnp.ndarray,
+    cam: CameraConfig,
+    time,
+) -> IndexMap:
+    """Index render of the POST-fuse map from the PRE-fuse render + the fuse
+    result — no second z-buffer pass.
+
+    The reference re-renders predictIndices between fuse and clean
+    (CoFusion.cpp:474); on this platform that second render is most of the
+    fuse/clean cost (scatter-min + winner/attribute gathers over the whole
+    active tier).  Fuse only changes the map two ways, both pixel-local:
+
+      * MERGED surfels keep their pixel (position nudges are sub-pixel — the
+        association window is +/-2 px at <=5 cm depth agreement, data.vert:
+        124-162) but change attributes -> patch every winner's channels with
+        one row gather from the post-fuse store;
+      * APPENDED surfels live at known stagger-subgrid pixels with the frame's
+        own camera-local attributes -> composite them with a per-pixel z-test
+        against the patched winner (tie -> existing surfel, matching the
+        z-buffer's low-index tie rule).
+
+    Divergence from an exact re-render: a merged surfel whose position nudge
+    crosses a pixel boundary stays at its old pixel for this frame's clean
+    (bounded by the merge gates above; self-corrects at the next frame's
+    render)."""
+    from cofusion_tpu.ops.rows import take_rows
+
+    H, W = cam.height, cam.width
+    n = fused.capacity
+
+    # --- patch winners with post-fuse attributes (ONE row gather) ----------
+    i0 = jnp.where(imap.valid, imap.index, 0).reshape(-1)
+    (px, py, pz, conf, nx, ny, nz, rad, cr, cg, cb, it, lt) = take_rows(
+        (fused.px, fused.py, fused.pz, fused.conf, fused.nx, fused.ny,
+         fused.nz, fused.radius, fused.cr, fused.cg, fused.cb,
+         fused.init_time, fused.last_time),
+        i0,
+    )
+    t_inv = invert_rt(pose)
+    lx, ly, lz = rotate_planar(t_inv[:3, :3], px, py, pz, t_inv[:3, 3])
+    lnx, lny, lnz = rotate_planar(t_inv[:3, :3], nx, ny, nz)
+
+    def img(a):
+        return a.reshape(H, W)
+
+    has = imap.valid
+
+    # --- composite appended surfels at their source pixels -----------------
+    p = aux.phase
+    if aux.new_s.shape[0] == H * W:  # odd dims: fuse used the full grid
+        new_img = aux.new_s.reshape(H, W)
+        dest_img = aux.dest.reshape(H, W)
+    else:
+        sel = jnp.arange(2) == p
+        m2 = sel[:, None] & sel[None, :]  # one-hot (2, 2) at (phase, phase)
+
+        def unsub(gv, fill):
+            g = gv.reshape(H // 2, W // 2)
+            out = jnp.where(m2[None, :, None, :], g[:, None, :, None], fill)
+            return out.reshape(H, W)
+
+        new_img = unsub(aux.new_s, False)
+        dest_img = unsub(aux.dest, n)
+    app = new_img & (dest_img < aux.count)
+    app_z = frame.pos[..., 2]
+    # z-test vs the patched winner; ties keep the existing (lower-index) surfel
+    app_win = app & (~has | (app_z < img(lz)))
+
+    tf = jnp.asarray(time, jnp.float32)
+
+    def ch(winner, appended):
+        return jnp.where(app_win, appended, jnp.where(has, winner, 0.0))
+
+    vert_conf = jnp.stack(
+        [ch(img(lx), frame.pos[..., 0]), ch(img(ly), frame.pos[..., 1]),
+         ch(img(lz), app_z), ch(img(conf), frame.conf)],
+        axis=-1,
+    )
+    normal_rad = jnp.stack(
+        [ch(img(lnx), frame.normal[..., 0]), ch(img(lny), frame.normal[..., 1]),
+         ch(img(lnz), frame.normal[..., 2]), ch(img(rad), frame.radius)],
+        axis=-1,
+    )
+    color_time = jnp.stack(
+        [ch(img(cr), frame.color[..., 0]), ch(img(cg), frame.color[..., 1]),
+         ch(img(cb), frame.color[..., 2]), ch(img(it), tf)],
+        axis=-1,
+    )
+    return IndexMap(
+        index=jnp.where(app_win, dest_img, jnp.where(has, imap.index, -1)),
+        vert_conf=vert_conf,
+        normal_rad=normal_rad,
+        color_time=color_time,
+        last_time=ch(img(lt), tf),
+        valid=has | app_win,
     )
 
 

@@ -54,7 +54,23 @@ def bilateral_filter(depth: jnp.ndarray, max_depth: float | jnp.ndarray, radius:
 
     sigma_space^2 = 20.25 px^2, sigma_color^2 = 9e-4 m^2; depth outside
     [0.3, max_depth] maps to 0 (invalid) — depth_bilateral_metric.frag:30-76.
+
+    On the TPU backend the 169-tap stencil runs as a VMEM-tiled pallas kernel
+    (ops/pallas_stencil.py, bit-exact vs the form below and at timing parity
+    with it — see its module docstring for the measurements); other backends
+    use the shift-and-accumulate form below.
     """
+    if radius == 6:
+        import jax as _jax
+
+        if _jax.default_backend() in ("tpu", "axon"):
+            from cofusion_tpu.ops.pallas_stencil import (
+                bilateral_filter_pallas,
+                bilateral_pallas_available,
+            )
+
+            if bilateral_pallas_available(depth.shape[0]):
+                return bilateral_filter_pallas(depth, max_depth)
     sigma_space2_inv_half = 0.024691358
     sigma_color2_inv_half = 555.556
 

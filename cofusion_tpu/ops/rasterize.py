@@ -330,7 +330,9 @@ def predict_indices_b(
     )
 
 
-def splat_from_imap(imap: IndexMap, cam: CameraConfig, cfg: CoFusionConfig) -> SplatMap:
+def splat_from_imap(
+    imap: IndexMap, cam: CameraConfig, cfg: CoFusionConfig, conf_threshold=None
+) -> SplatMap:
     """The windowed-gather splatting pass over a point render: for each pixel,
     view ray l = ((u-cx)/fx, (v-cy)/fy, 1)/|.|; for each candidate surfel s in
     the (2r+1)^2 neighborhood of the index render, intersect the ray with the
@@ -342,7 +344,15 @@ def splat_from_imap(imap: IndexMap, cam: CameraConfig, cfg: CoFusionConfig) -> S
     gather lowers to XLA's batched form, orders of magnitude off the fast
     path).  Phase 1 is static shifts over a packed geometry image; phase 2
     fetches the winner's 9 attributes with ONE row-packed gather (ops/rows.py).
-    """
+
+    `conf_threshold` (scalar or (B,)) applies the splat.vert:58 confidence gate
+    at the WINDOW level: candidates below it never splat.  This lets ONE
+    all-surfel index render serve both fuse/clean (ungated) and the tracking
+    prediction (gated).  Divergence from gating at the index render: a pixel
+    whose z-winner is an unconfident surfel occluding a confident one renders
+    invalid here instead of showing the confident surfel behind — the two sit
+    within millimeters in practice (fresh unstable surfels lie ON the observed
+    surface), so the prediction loses the pixel, not accuracy."""
     H, W = cam.height, cam.width
     batched = imap.last_time.ndim == 3
     B = imap.last_time.shape[0] if batched else 1
@@ -376,16 +386,22 @@ def splat_from_imap(imap: IndexMap, cam: CameraConfig, cfg: CoFusionConfig) -> S
     l = jnp.stack([lx / lnorm, ly / lnorm, 1.0 / lnorm], axis=-1)[None]  # (1,H,W,3)
 
     r = cfg.splat_radius
+    cand_valid = ivalid
+    if conf_threshold is not None:
+        thr = jnp.asarray(conf_threshold, jnp.float32)
+        thr = thr.reshape((B,) + (1,) * 2) if thr.ndim == 1 else thr
+        cand_valid = cand_valid & (vert_conf[..., 3] >= thr)
     geo = jnp.concatenate(
         [
             vert_conf[..., :3],
             normal_rad[..., :4],
-            ivalid[..., None].astype(jnp.float32),
+            cand_valid[..., None].astype(jnp.float32),
         ],
         axis=-1,
     )  # (B, H, W, 8): pos, normal, radius, valid
 
     best_z = jnp.full((B, H, W), jnp.inf)
+    best_zq = jnp.full((B, H, W), jnp.inf)
     best_tap = jnp.full((B, H, W), -1, jnp.int32)
     k = 0
     for dy in range(-r, r + 1):
@@ -400,13 +416,21 @@ def splat_from_imap(imap: IndexMap, cam: CameraConfig, cfg: CoFusionConfig) -> S
             hit = t[..., None] * l
             d2 = jnp.sum((hit - cpos) ** 2, axis=-1)
             zhit = hit[..., 2]
+            # winner compare on QUANTIZED z (0.24 mm buckets), first tap wins
+            # ties: candidates on one planar surface intersect the ray at
+            # z values equal to the last ulp, so an exact float compare lets
+            # reduction-order noise (e.g. sharded scatter-add merges upstream)
+            # flip winners pervasively — the z-buffer render is immune for the
+            # same reason (quantized key + index tie-break, _zkey_bits)
+            zq = jnp.floor(zhit * 4096.0)
             good = (
                 cand_ok
                 & (jnp.abs(ln) >= 1e-12)
                 & (d2 <= crad * crad)
                 & (zhit > 0)
-                & (zhit < best_z)
+                & (zq < best_zq)
             )
+            best_zq = jnp.where(good, zq, best_zq)
             best_z = jnp.where(good, zhit, best_z)
             best_tap = jnp.where(good, k, best_tap)
             k += 1

@@ -185,6 +185,37 @@ def downsample_mean_b(imgs: jnp.ndarray, assign: jnp.ndarray, K: int) -> jnp.nda
     return (sums / jnp.maximum(cnt, 1.0)).reshape(M, K)
 
 
+def downsample_median_b(imgs: jnp.ndarray, assign: jnp.ndarray, K: int) -> jnp.ndarray:
+    """Batched per-superpixel MEDIAN of (M, H, W) images -> (M, K).
+
+    Used for the ICP-error channels feeding the unaries.  The reference takes
+    the superpixel MEAN of its raw per-pixel error texture
+    (Slic::downsample<float>, Slic.h:49-84; the texture itself records the
+    unGATED correspondence distance, reduce.cu:323-325) — at depth
+    discontinuities that distance spikes to the full inter-surface gap, so a
+    boundary superpixel's mean error exceeds the object floor
+    (unaryKError) and flips to an object label even though most of its pixels
+    track fine.  The median reports the majority (interior) error and kills
+    those speckles; for genuinely-misfitting regions every pixel is high, so
+    median == mean and the unary is unchanged.  Sort-based: one stable sort of
+    (cell, value) pairs per model on the 2x2-strided subset."""
+    M = imgs.shape[0]
+    a_s = assign[::2, ::2].reshape(-1)
+    P = a_s.shape[0]
+    cnt = jnp.zeros((K,), jnp.float32).at[a_s].add(1.0)
+    start = jnp.cumsum(cnt) - cnt  # exclusive prefix: first sorted slot per cell
+    pos = jnp.clip(
+        (start + jnp.floor((cnt - 1.0) / 2.0)).astype(jnp.int32), 0, P - 1
+    )
+    out = []
+    for m in range(M):  # static M; per-model plain sorts + gathers (no vmap)
+        vals = imgs[m, ::2, ::2].reshape(-1)
+        order = jnp.lexsort((vals, a_s))
+        vsorted = jnp.take(vals, order)
+        out.append(jnp.where(cnt > 0, jnp.take(vsorted, pos), 0.0))
+    return jnp.stack(out)
+
+
 def upsample(values: jnp.ndarray, assign: jnp.ndarray) -> jnp.ndarray:
     """Per-superpixel values -> full-res (Slic::upsample, nearest)."""
     return jnp.take(values, assign.reshape(-1), axis=0).reshape(assign.shape + values.shape[1:])
@@ -302,7 +333,7 @@ def perform_segmentation_crf(
 
     low_rgb, _ = downsample_mean(rgb.astype(jnp.float32), assign, K)
     low_depth, _ = downsample_mean(depth, assign, K, min_threshold=0.02)
-    low_err = downsample_mean_b(icp_errors, assign, K)   # (M, K)
+    low_err = downsample_median_b(icp_errors, assign, K)   # (M, K)
     low_conf = downsample_mean_b(confidences, assign, K)
 
     dok = (low_depth > 0) & (low_depth < MAX_DEPTH)
@@ -411,31 +442,44 @@ def perform_segmentation_crf(
     )
     lab255 = jnp.where(cell_border_suppressed, 255, lab255)
 
-    # --- depth stats with 1.1-sigma trimming (Segmentation.cpp:570-621) ---
+    # --- robust per-label depth stats: histogram median + MAD ------------
+    # The reference trims once at mean + 1.1*MAD (Segmentation.cpp:570-621,
+    # its own comment admits "only approximating the std").  That estimator
+    # fails BIMODAL labels: a fresh label containing the vacated "ghost"
+    # region (~half background pixels at far depth) yields a clamp that
+    # admits the background, so the spawned model permanently absorbs
+    # background geometry and the label creeps (measured: spawn clamp 3.22 m
+    # for a 1.4-2.1 m object against a 3.2 m wall; ~30% of the new model's
+    # surfels were wall).  Median/MAD lands inside the majority (object)
+    # cluster: same intent — a per-object depth range for the fusion clamp
+    # (CoFusion.cpp:228 depthMean + 1.2*depthStd) — robust to the ghost.
     valid_cell = lab255 != 255
     lab_idx = jnp.where(valid_cell, lab255, M)
     cnt = jnp.zeros((M,), jnp.float32).at[lab_idx].add(
         jnp.where(valid_cell, 1.0, 0.0), mode="drop"
     )
-    dsum = jnp.zeros((M,), jnp.float32).at[lab_idx].add(
-        jnp.where(valid_cell, low_depth, 0.0), mode="drop"
-    )
-    mean = dsum / jnp.maximum(cnt, 1.0)
-    dev = jnp.abs(jnp.take(mean, jnp.where(valid_cell, lab255, 0)) - low_depth)
-    devsum = jnp.zeros((M,), jnp.float32).at[lab_idx].add(
-        jnp.where(valid_cell, dev, 0.0), mode="drop"
-    )
-    std = devsum / jnp.maximum(cnt, 1.0)
-    # trim outliers beyond mean + 1.1 std (objects only)
-    cell_mean = jnp.take(mean, jnp.where(valid_cell, lab255, 0))
-    cell_std = jnp.take(std, jnp.where(valid_cell, lab255, 0))
-    outlier = valid_cell & (lab255 != 0) & (low_depth > cell_mean + 1.1 * cell_std)
-    w2 = jnp.where(valid_cell & ~outlier, 1.0, 0.0)
-    cnt2 = jnp.zeros((M,), jnp.float32).at[lab_idx].add(w2, mode="drop")
-    dsum2 = jnp.zeros((M,), jnp.float32).at[lab_idx].add(w2 * low_depth, mode="drop")
-    mean2 = jnp.where(cnt2 > 0, dsum2 / jnp.maximum(cnt2, 1.0), 0.0)
-    devsum2 = jnp.zeros((M,), jnp.float32).at[lab_idx].add(w2 * dev, mode="drop")
-    std2 = jnp.where(cnt2 > 0, devsum2 / jnp.maximum(cnt2, 1.0), 0.0)
+    NB = 128
+    dmax = jnp.maximum(jnp.max(low_depth), 1e-3)
+
+    def _label_median(vals):
+        b = jnp.clip((vals / dmax * NB).astype(jnp.int32), 0, NB - 1)
+        flatb = lab_idx * NB + b  # suppressed rows index >= M*NB -> dropped
+        hist = (
+            jnp.zeros((M * NB,), jnp.float32)
+            .at[flatb].add(jnp.where(valid_cell, 1.0, 0.0), mode="drop")
+            .reshape(M, NB)
+        )
+        c = jnp.cumsum(hist, axis=1)
+        medbin = jnp.argmax(c >= c[:, -1:] / 2.0, axis=1)
+        return (medbin.astype(jnp.float32) + 0.5) * (dmax / NB)
+
+    med = _label_median(low_depth)
+    devm = jnp.abs(low_depth - jnp.take(med, jnp.where(valid_cell, lab255, 0)))
+    mad = _label_median(devm)
+    mean2 = jnp.where(cnt > 0, med, 0.0)
+    # floor the spread so a fronto-parallel (near-constant-depth) object does
+    # not produce a clamp at exactly its median (rejecting half its pixels)
+    std2 = jnp.where(cnt > 0, jnp.maximum(mad, 0.04), 0.0)
 
     sp_count = jnp.zeros((M,), jnp.int32).at[lab_idx].add(
         jnp.where(valid_cell, 1, 0), mode="drop"

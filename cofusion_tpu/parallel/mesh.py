@@ -52,6 +52,9 @@ def shard_engine_state(state, mesh: Mesh):
         active=rep, age=rep, model_id=rep, unseen=rep, spawn_cooldown=rep,
     )
     fern_sh = jax.tree.map(lambda a: rep, state.fern_db)
+    # carried prediction: (M, H, W[, C]) leaves — shard image rows like the
+    # other per-model image stacks
+    pred_sh = jax.tree.map(lambda a: NamedSharding(mesh, P(None, "d")), state.pred)
     sh = state._replace(
         models=models_sh,
         tick=rep,
@@ -65,5 +68,6 @@ def shard_engine_state(state, mesh: Mesh):
         lost=rep,
         unstable_count=rep,
         mask_history=NamedSharding(mesh, P(None, "d")),
+        pred=pred_sh,
     )
     return jax.device_put(state, sh)
