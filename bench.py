@@ -4,20 +4,21 @@ CRF segmentation and 3 independently-moving objects, reference-scale surfel
 capacity.  The CUDA reference runs this at ~30 Hz on a TitanX (README.md:7,46-48,
 frame-skip policy GUI/MainController.cpp:413-415).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}, where
-the extra keys make the artifact SELF-CERTIFYING against the axon TPU server's
-degraded mode (CLAUDE.md "poisoning"):
+Prints the result as a JSON line {"metric", "value", "unit", "vs_baseline", ...}
+— re-emitted after EVERY measurement attempt with the best result so far, so
+the LAST stdout line is always the final answer AND an early kill still leaves
+a complete number behind (round-4 failure mode: the old protocol idled waiting
+for a canary floor this server never reaches and died printing nothing).
 
-  * canary_pre_ms   — marginal dispatch latency measured BEFORE any engine
-                      work (healthy < 1.5 ms; poisoned ~7-12 ms).  If poisoned,
-                      the bench idle-waits (poisoning heals with TPU idle time)
-                      within a bounded budget before proceeding.
-  * canary_warm_ms  — re-measured after engine warmup, i.e. did compiling +
-                      warming the engine itself degrade the server.
-  * canary_post_ms  — re-measured after the timed window; if poisoned, the
-                      window is re-run after an idle-wait (up to 2 retries)
-                      and only the healthiest attempt is reported.
-  * attempts / wait_s / healthy — protocol bookkeeping.
+Protocol invariants (round 5):
+  * a HARD global deadline (BENCH_BUDGET_S, default 840 s wall) bounds ALL
+    waits + compiles + windows; the worst case is a number stamped
+    healthy=false, never an empty artifact;
+  * the canary gates only on true POISONING (>= 10 ms marginal dispatch — the
+    r3 heal-with-idle mode); the 3-8 ms steady state this server commonly
+    sits at is its normal operating point (see utils/tpu_health.py);
+  * canary_pre/warm/post are recorded next to the number so the artifact is
+    self-certifying about which server regime it ran in.
 
 Notes:
   * the compiled per-frame program has STATIC shapes — its cost is identical
@@ -114,13 +115,22 @@ def measure_fps(engine, frames, n_unique, warmup, measured, start=0):
 
 
 def main():
+    t_start = time.perf_counter()
+    deadline = t_start + float(os.environ.get("BENCH_BUDGET_S", 840.0))
+
+    def remaining() -> float:
+        return deadline - time.perf_counter()
+
     cam = CameraConfig()  # 640x480 reference default
     max_surfels = int(os.environ.get("BENCH_SURFELS", 1 << 22))  # 4.2M/model
     max_models = int(os.environ.get("BENCH_MODELS", 4))          # bg + 3 objects
     measured = int(os.environ.get("BENCH_FRAMES", 30))
 
-    # --- protocol step 1: certify the server healthy BEFORE any engine work
-    canary_pre, wait_pre, pre_ok = tpu_health.wait_healthy(log=log)
+    # --- step 1: probe the server BEFORE any engine work.  Waits only if the
+    # true poisoning regime (>=10 ms) is detected, and only within what the
+    # global deadline can spare (never more than 240 s).
+    canary_pre, wait_pre, pre_ok = tpu_health.wait_healthy(
+        budget_s=max(0.0, min(240.0, remaining() - 420.0)), log=log)
     log(f"[bench] canary_pre {canary_pre:.3f} ms (waited {wait_pre:.0f}s, "
         f"healthy={pre_ok})")
 
@@ -128,28 +138,40 @@ def main():
     n_unique = 12
     frames = make_multi_object_frames(cam, n_unique)
 
-    # --- warmup: compile + run past the first host<->device sync (absorbs the
-    # one-time program upload over the device tunnel)
-    warmup = 9
+    # --- step 2: warmup = compile (persistent-cache hit when warm) + run past
+    # the first host<->device sync.  Compile time is reported separately so a
+    # cold-cache driver run is attributable.
+    warmup = 6
     t0 = time.perf_counter()
     for i in range(warmup):
         engine.process_frame(frames[i % n_unique])
     np.asarray(engine.state.models.pose)
-    log(f"[bench] warmup {warmup} frames in {time.perf_counter()-t0:.1f}s")
-
-    # --- protocol step 2: did compiling/warming the engine degrade the server?
+    compile_s = time.perf_counter() - t0
+    log(f"[bench] warmup {warmup} frames in {compile_s:.1f}s")
     canary_warm = tpu_health.canary_ms()
     log(f"[bench] canary_warm {canary_warm:.3f} ms")
     wait_total = wait_pre
-    if not tpu_health.is_healthy(canary_warm):
-        c, w, ok = tpu_health.wait_healthy(log=log)
-        log(f"[bench] post-warmup heal: canary {c:.3f} ms after {w:.0f}s idle "
-            f"(healthy={ok})")
-        canary_warm = c
-        wait_total += w
 
-    # --- protocol step 3: timed window; re-measure if the window itself ran
-    # on (or created) a degraded server
+    # --- step 3: timed window(s).  After EVERY attempt the best-so-far result
+    # line is (re)printed: the last stdout line is the final answer and an
+    # early kill still leaves a complete number.
+    def emit(fps, canary_post, attempts):
+        active = engine.state and np.asarray(engine.state.models.active)
+        print(json.dumps({
+            "metric": "engine_fps_640x480_3objects_crf",
+            "value": round(fps, 3),
+            "unit": "fps",
+            "vs_baseline": round(fps / BASELINE_FPS, 3),
+            "canary_pre_ms": round(canary_pre, 3),
+            "canary_warm_ms": round(canary_warm, 3),
+            "canary_post_ms": round(canary_post, 3),
+            "attempts": attempts,
+            "wait_s": round(wait_total, 1),
+            "compile_s": round(compile_s, 1),
+            "active_models": int(np.sum(active)) if active is not None else -1,
+            "healthy": bool(tpu_health.is_healthy(canary_post)),
+        }), flush=True)
+
     attempts = 0
     nxt = warmup
     best_fps, canary_post = -1.0, float("inf")
@@ -160,11 +182,15 @@ def main():
         log(f"[bench] attempt {attempts}: {fps:.2f} fps, canary_post {c_post:.3f} ms")
         if fps > best_fps:
             best_fps, canary_post = fps, c_post
-        if tpu_health.is_healthy(c_post) or attempts >= 3:
+        emit(best_fps, canary_post, attempts)
+        # retry only on true poisoning, at most twice, and only if the deadline
+        # can absorb an idle-heal plus another window
+        if tpu_health.is_healthy(c_post) or attempts >= 3 or remaining() < 300.0:
             break
-        c, w, ok = tpu_health.wait_healthy(log=log)
+        c, w, ok = tpu_health.wait_healthy(
+            budget_s=max(0.0, min(240.0, remaining() - 60.0)), log=log)
         wait_total += w
-        log(f"[bench] healed to {c:.3f} ms after {w:.0f}s; re-measuring")
+        log(f"[bench] canary {c:.3f} ms after {w:.0f}s idle; re-measuring")
 
     fps = best_fps
     active = np.asarray(engine.state.models.active)
@@ -173,19 +199,6 @@ def main():
     )
     log(f"[bench] active models: {active.tolist()}, surfels: {counts.tolist()}, "
         f"capacity {max_surfels}+{engine.cfg.active_capacity} x {max_models} models")
-
-    result = {
-        "metric": "engine_fps_640x480_3objects_crf",
-        "value": round(fps, 3),
-        "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-        "canary_pre_ms": round(canary_pre, 3),
-        "canary_warm_ms": round(canary_warm, 3),
-        "canary_post_ms": round(canary_post, 3),
-        "attempts": attempts,
-        "wait_s": round(wait_total, 1),
-        "healthy": bool(tpu_health.is_healthy(canary_post)),
-    }
 
     # --- secondary labeled variants (stderr only; VERDICT r3 item 8) --------
     if os.environ.get("BENCH_VARIANTS"):
@@ -205,7 +218,9 @@ def main():
             }))
             del eng
 
-    print(json.dumps(result))
+    # re-emit the final best line LAST so it wins regardless of what the
+    # variants logged to stderr (the stdout contract: last line = answer)
+    emit(fps, canary_post, attempts)
 
 
 if __name__ == "__main__":

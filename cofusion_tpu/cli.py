@@ -131,6 +131,10 @@ def build_from_args(argv: list[str]):
 
     cam = CameraConfig(width=width, height=height, fx=fx, fy=fy, cx=cx, cy=cy)
     static = p.flag("-static")
+    # '-o' open-loop mode (MainController.cpp:202 hardwires openLoop=true with
+    # a FIXME; the documented flag's effect is MainController.cpp:328-329:
+    # timeDelta -> INT_MAX/2, i.e. no time-window aging, and closeLoops=false).
+    open_loop = p.flag("-o")
     from cofusion_tpu.config import CoFusionConfig as _Cfg
 
     cfg = CoFusionConfig(
@@ -138,7 +142,7 @@ def build_from_args(argv: list[str]):
         max_models=1 if static else 4,
         fast_odom=p.flag("-fo"),
         use_so3=not p.flag("-nso"),
-        time_delta=p.int_arg("-t", 200),
+        time_delta=(1 << 30) if open_loop else p.int_arg("-t", 200),
         # '-ns': per-model surfel capacity — the runtime analogue of the
         # reference's compile-time COFUSION_NUM_SURFELS (Model.cpp:92-98)
         max_surfels=p.int_arg("-ns", _Cfg.max_surfels),
@@ -170,8 +174,8 @@ def build_from_args(argv: list[str]):
         enable_relocalization=p.flag("-rl"),
         # the reference forces openLoop=true (MainController.cpp:203 FIXME), so
         # its local-loop machinery never runs; '-cl' enables ours (SURVEY §7:
-        # "machinery implemented, gated off by default")
-        close_loops=p.flag("-cl"),
+        # "machinery implemented, gated off by default"); '-o' forces it off
+        close_loops=p.flag("-cl") and not open_loop,
         frame_to_frame_rgb=p.flag("-ftf"),
         # '-keep': keep all deactivated models' data (disables smart delete,
         # MainController.cpp:69,236 -> CoFusion.cpp:612-626)

@@ -61,7 +61,7 @@ def test_keep_retains_model_data(small_cam):
     engine, slot = _run(small_cam, keep=True)
     assert engine.surfel_count(slot) > 0, "'-keep' must retain the deactivated map"
     cloud = engine.download_model(slot)
-    assert len(cloud["positions"]) > 0
+    assert len(cloud["pos"]) > 0
 
 
 def test_smart_delete_keeps_mature_model(small_cam):
