@@ -98,12 +98,15 @@ class CoFusionConfig:
     fast_odom: bool = False
     use_so3: bool = True
     use_pyramid: bool = True
-    # Correspondence decimation at pyramid level 0 (TPU-first divergence from
-    # the reference, which reduces every pixel): a 2x2-strided subset still
-    # gives ~77k correspondences for a 6-DoF solve at 640x480, and per-GN-iter
-    # cost scales with the subset size.  Levels 1+ and the coarse fern/reloc
-    # tracker are never strided (their counts feed absolute inlier gates).
+    # Correspondence decimation at pyramid levels 0/1 (TPU-first divergence
+    # from the reference, which reduces every pixel): a 2x2-strided subset
+    # still gives ~77k (l0) / ~19k (l1) correspondences for a 6-DoF solve at
+    # 640x480, and per-GN-iter cost scales with the subset size (gather rows
+    # at ~4-7 ns/row dominate, CLAUDE.md perf model).  Level 2 and the coarse
+    # fern/reloc tracker are never strided (their counts feed absolute inlier
+    # gates).
     gn_stride_l0: int = 2
+    gn_stride_l1: int = 2
 
     # --- rasterizer --------------------------------------------------------
     # Gather window half-size for splat prediction (pixels); bounds the splat
@@ -180,6 +183,15 @@ class TrackingParams:
     # correspondences exist, or when the per-iteration translation step exceeds
     # the jump threshold.
     min_correspondences: float = 20.0
+    # Gauss-Newton convergence epsilon: a GN iteration whose update norm
+    # |xi| (meters + radians, combined) falls below this freezes the model's
+    # solve, and the level loop exits early once EVERY model is frozen
+    # (lax.while_loop).  1e-5 (10 um / ~2 arcsec) is far below sensor noise;
+    # the reference runs its fixed {10,5,4} schedule to completion
+    # (RGBDOdometry.cpp:312-346) — on converged frames most of those
+    # iterations recompute an unchanged pose, and each costs ~0.6M gather
+    # rows on this platform.  Set to 0.0 to reproduce the fixed schedule.
+    gn_converge_eps: float = 1e-5
     # The reference combines A = A_rgbd + w^2 A_icp but b = b_rgbd + w b_icp
     # (RGBDOdometry.cpp:431-446).  When the photometric term is small this scales
     # every Gauss-Newton step by 1/w — geometric under-relaxation that leaves

@@ -44,6 +44,16 @@ from cofusion_tpu.ops import preprocess as pp
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _gn_stride(cfg: CoFusionConfig, lvl: int) -> int:
+    """Frame-side correspondence decimation per pyramid level (config.py:
+    gn_stride_l0/l1 — level 2 always full-res)."""
+    if lvl == 0:
+        return cfg.gn_stride_l0
+    if lvl == 1:
+        return cfg.gn_stride_l1
+    return 1
+
+
 # ---------------------------------------------------------------------------
 # pyramid containers
 
@@ -789,12 +799,12 @@ def track_models(
         if n_it == 0:
             continue
 
-        def body(j, carry, lvl=lvl, cam_l=cam_l):
-            resultRt, st = carry
+        def body(carry, lvl=lvl, cam_l=cam_l):
+            resultRt, st, done = carry
             currentT = lie.compose(poses, lie.invert_rt(resultRt))
             Rcurr = currentT[:, :3, :3]
             tcurr = currentT[:, :3, 3]
-            stride = cfg.gn_stride_l0 if lvl == 0 else 1
+            stride = _gn_stride(cfg, lvl)
 
             if use_rgb:
                 A_rgb, b_rgb, sigma, rgb_cnt, rgb_err = _rgb_terms_b(
@@ -828,31 +838,51 @@ def track_models(
             stop_now = st["stopped"] | (
                 jnp.bool_(params.rgb_only) & (rgb_err > st["last_rgb_err"])
             )
+            halt = stop_now | done
 
             xi = jnp.linalg.solve(A + 1e-12 * eye6[None], b[..., None])[..., 0]
             ok = (
                 jnp.all(jnp.isfinite(xi), axis=-1)
                 & ((icp_cnt + rgb_cnt) >= params.min_correspondences)
                 & (jnp.linalg.norm(xi[:, :3], axis=-1) < params.max_translation_jump)
-                & ~stop_now
+                & ~halt
             )
             xi = jnp.where(ok[:, None], xi, 0.0)
             resultRt_new = lie.compose(lie.se3_exp_rt(xi), resultRt)
+            # per-LEVEL convergence freeze: a model whose update fell below
+            # gn_converge_eps (or whose solve is a fixed point: ~ok implies the
+            # next iteration recomputes the identical system) is done at this
+            # level; the while_loop exits once every model is
+            converged = jnp.linalg.norm(xi, axis=-1) < params.gn_converge_eps
+            done_new = done | ~ok | converged
 
             okA = ok[:, None, None]
             st_new = dict(
                 A=jnp.where(okA, A, st["A"]),
                 b=jnp.where(ok[:, None], b, st["b"]),
-                icp_err=jnp.where(stop_now, st["icp_err"], icp_err),
-                icp_cnt=jnp.where(stop_now, st["icp_cnt"], icp_cnt),
-                rgb_err=jnp.where(stop_now, st["rgb_err"], rgb_err),
-                rgb_cnt=jnp.where(stop_now, st["rgb_cnt"], rgb_cnt),
-                last_rgb_err=jnp.where(stop_now, st["last_rgb_err"], rgb_err),
+                icp_err=jnp.where(halt, st["icp_err"], icp_err),
+                icp_cnt=jnp.where(halt, st["icp_cnt"], icp_cnt),
+                rgb_err=jnp.where(halt, st["rgb_err"], rgb_err),
+                rgb_cnt=jnp.where(halt, st["rgb_cnt"], rgb_cnt),
+                last_rgb_err=jnp.where(halt, st["last_rgb_err"], rgb_err),
                 stopped=stop_now,
             )
-            return (jnp.where(stop_now[:, None, None], resultRt, resultRt_new), st_new)
+            return (jnp.where(halt[:, None, None], resultRt, resultRt_new), st_new, done_new)
 
-        carry = jax.lax.fori_loop(0, n_it, body, carry)
+        def cond_fn(c, n_it=n_it):
+            i, _, st, done = c
+            return (i < n_it) & ~jnp.all(st["stopped"] | done)
+
+        def body_fn(c):
+            i, resultRt, st, done = c
+            resultRt, st, done = body((resultRt, st, done))
+            return (i + 1, resultRt, st, done)
+
+        _, resultRt_c, st_c, _ = jax.lax.while_loop(
+            cond_fn, body_fn,
+            (jnp.int32(0), carry[0], carry[1], jnp.zeros((M,), bool)),
+        )
+        carry = (resultRt_c, st_c)
 
     resultRt, st = carry
     currentT = lie.compose(poses, lie.invert_rt(resultRt))
@@ -1102,8 +1132,8 @@ def get_incremental_transformation(
         if n_it == 0:
             continue
 
-        def body(j, carry, lvl=lvl, cam_l=cam_l):
-            resultRt, st = carry
+        def body(carry, lvl=lvl, cam_l=cam_l):
+            resultRt, st, done = carry
             currentT = lie.compose(pose_prev, lie.invert_rt(resultRt))
             Rcurr = currentT[:3, :3]
             tcurr = currentT[:3, 3]
@@ -1111,7 +1141,7 @@ def get_incremental_transformation(
             if use_rgb:
                 A_rgb, b_rgb, sigma, rgb_cnt, rgb_err = _rgb_terms(
                     resultRt, frame, model, lvl, cam_l, params, params.rgb_only,
-                    stride=cfg.gn_stride_l0 if lvl == 0 else 1,
+                    stride=_gn_stride(cfg, lvl),
                 )
             else:
                 A_rgb, b_rgb = zero66, zero6
@@ -1120,7 +1150,7 @@ def get_incremental_transformation(
             if use_icp:
                 A_icp, b_icp, icp_err_sq, icp_cnt, _ = _icp_terms(
                     Rcurr, tcurr, Rprev_inv, tprev, frame, model, lvl, cam_l, params,
-                    stride=cfg.gn_stride_l0 if lvl == 0 else 1,
+                    stride=_gn_stride(cfg, lvl),
                 )
                 icp_err = jnp.sqrt(icp_err_sq) / jnp.maximum(icp_cnt, 1.0)
             else:
@@ -1140,30 +1170,47 @@ def get_incremental_transformation(
             stop_now = st["stopped"] | (
                 jnp.bool_(params.rgb_only) & (rgb_err > st["last_rgb_err"])
             )
+            halt = stop_now | done
 
             xi = jnp.linalg.solve(A + 1e-12 * jnp.eye(6), b)
             ok = (
                 jnp.all(jnp.isfinite(xi))
                 & ((icp_cnt + rgb_cnt) >= params.min_correspondences)
                 & (jnp.linalg.norm(xi[:3]) < params.max_translation_jump)
-                & ~stop_now
+                & ~halt
             )
             xi = jnp.where(ok, xi, jnp.zeros(6))
             resultRt_new = lie.compose(lie.se3_exp_rt(xi), resultRt)
+            # per-level convergence freeze (see track_models)
+            converged = jnp.linalg.norm(xi) < params.gn_converge_eps
+            done_new = done | ~ok | converged
 
             st_new = dict(
                 A=jnp.where(ok, A, st["A"]),
                 b=jnp.where(ok, b, st["b"]),
-                icp_err=jnp.where(stop_now, st["icp_err"], icp_err),
-                icp_cnt=jnp.where(stop_now, st["icp_cnt"], icp_cnt),
-                rgb_err=jnp.where(stop_now, st["rgb_err"], rgb_err),
-                rgb_cnt=jnp.where(stop_now, st["rgb_cnt"], rgb_cnt),
-                last_rgb_err=jnp.where(stop_now, st["last_rgb_err"], rgb_err),
+                icp_err=jnp.where(halt, st["icp_err"], icp_err),
+                icp_cnt=jnp.where(halt, st["icp_cnt"], icp_cnt),
+                rgb_err=jnp.where(halt, st["rgb_err"], rgb_err),
+                rgb_cnt=jnp.where(halt, st["rgb_cnt"], rgb_cnt),
+                last_rgb_err=jnp.where(halt, st["last_rgb_err"], rgb_err),
                 stopped=stop_now,
             )
-            return (jnp.where(stop_now, resultRt, resultRt_new), st_new)
+            return (jnp.where(halt, resultRt, resultRt_new), st_new, done_new)
 
-        carry = jax.lax.fori_loop(0, n_it, body, carry)
+        def cond_fn(c, n_it=n_it):
+            i, _, st, done = c
+            return (i < n_it) & ~(st["stopped"] | done)
+
+        def body_fn(c):
+            i, resultRt, st, done = c
+            resultRt, st, done = body((resultRt, st, done))
+            return (i + 1, resultRt, st, done)
+
+        _, resultRt_c, st_c, _ = jax.lax.while_loop(
+            cond_fn, body_fn,
+            (jnp.int32(0), carry[0], carry[1], jnp.bool_(False)),
+        )
+        carry = (resultRt_c, st_c)
 
     resultRt, st = carry
     currentT = lie.compose(pose_prev, lie.invert_rt(resultRt))

@@ -330,6 +330,57 @@ def predict_indices_b(
     )
 
 
+def _splat_window_xla(cand_pos, normal_rad, cand_valid, l, shifted_b, r: int):
+    """XLA form of the window sweep: one shifted copy of the packed geometry
+    image per tap (the TPU backend uses ops/pallas_splat.py instead — same
+    math, VMEM-tiled; tests/test_pallas_splat.py pins the two equal)."""
+    B, H, W = cand_valid.shape
+    geo = jnp.concatenate(
+        [
+            cand_pos,
+            normal_rad[..., :4],
+            cand_valid[..., None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # (B, H, W, 8): pos, normal, radius, valid
+
+    best_z = jnp.full((B, H, W), jnp.inf)
+    best_zq = jnp.full((B, H, W), jnp.inf)
+    best_tap = jnp.full((B, H, W), -1, jnp.int32)
+    k = 0
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            g = shifted_b(geo, dy, dx, 0.0)
+            cpos = g[..., 0:3]
+            cnorm = g[..., 3:6]
+            crad = g[..., 6]
+            cand_ok = g[..., 7] > 0.5
+            ln = jnp.sum(l * cnorm, axis=-1)
+            t = jnp.sum(cpos * cnorm, axis=-1) / jnp.where(jnp.abs(ln) < 1e-12, 1.0, ln)
+            hit = t[..., None] * l
+            d2 = jnp.sum((hit - cpos) ** 2, axis=-1)
+            zhit = hit[..., 2]
+            # winner compare on QUANTIZED z (0.24 mm buckets), first tap wins
+            # ties: candidates on one planar surface intersect the ray at
+            # z values equal to the last ulp, so an exact float compare lets
+            # reduction-order noise (e.g. sharded scatter-add merges upstream)
+            # flip winners pervasively — the z-buffer render is immune for the
+            # same reason (quantized key + index tie-break, _zkey_bits)
+            zq = jnp.floor(zhit * 4096.0)
+            good = (
+                cand_ok
+                & (jnp.abs(ln) >= 1e-12)
+                & (d2 <= crad * crad)
+                & (zhit > 0)
+                & (zq < best_zq)
+            )
+            best_zq = jnp.where(good, zq, best_zq)
+            best_z = jnp.where(good, zhit, best_z)
+            best_tap = jnp.where(good, k, best_tap)
+            k += 1
+    return best_z, best_tap
+
+
 def splat_from_imap(
     imap: IndexMap, cam: CameraConfig, cfg: CoFusionConfig, conf_threshold=None
 ) -> SplatMap:
@@ -391,49 +442,27 @@ def splat_from_imap(
         thr = jnp.asarray(conf_threshold, jnp.float32)
         thr = thr.reshape((B,) + (1,) * 2) if thr.ndim == 1 else thr
         cand_valid = cand_valid & (vert_conf[..., 3] >= thr)
-    geo = jnp.concatenate(
-        [
-            vert_conf[..., :3],
-            normal_rad[..., :4],
-            cand_valid[..., None].astype(jnp.float32),
-        ],
-        axis=-1,
-    )  # (B, H, W, 8): pos, normal, radius, valid
 
-    best_z = jnp.full((B, H, W), jnp.inf)
-    best_zq = jnp.full((B, H, W), jnp.inf)
-    best_tap = jnp.full((B, H, W), -1, jnp.int32)
-    k = 0
-    for dy in range(-r, r + 1):
-        for dx in range(-r, r + 1):
-            g = shifted_b(geo, dy, dx, 0.0)
-            cpos = g[..., 0:3]
-            cnorm = g[..., 3:6]
-            crad = g[..., 6]
-            cand_ok = g[..., 7] > 0.5
-            ln = jnp.sum(l * cnorm, axis=-1)
-            t = jnp.sum(cpos * cnorm, axis=-1) / jnp.where(jnp.abs(ln) < 1e-12, 1.0, ln)
-            hit = t[..., None] * l
-            d2 = jnp.sum((hit - cpos) ** 2, axis=-1)
-            zhit = hit[..., 2]
-            # winner compare on QUANTIZED z (0.24 mm buckets), first tap wins
-            # ties: candidates on one planar surface intersect the ray at
-            # z values equal to the last ulp, so an exact float compare lets
-            # reduction-order noise (e.g. sharded scatter-add merges upstream)
-            # flip winners pervasively — the z-buffer render is immune for the
-            # same reason (quantized key + index tie-break, _zkey_bits)
-            zq = jnp.floor(zhit * 4096.0)
-            good = (
-                cand_ok
-                & (jnp.abs(ln) >= 1e-12)
-                & (d2 <= crad * crad)
-                & (zhit > 0)
-                & (zq < best_zq)
-            )
-            best_zq = jnp.where(good, zq, best_zq)
-            best_z = jnp.where(good, zhit, best_z)
-            best_tap = jnp.where(good, k, best_tap)
-            k += 1
+    use_pallas = False
+    if jax.default_backend() in ("tpu", "axon"):
+        from cofusion_tpu.ops.pallas_splat import (
+            splat_window_pallas,
+            splat_window_pallas_available,
+        )
+
+        use_pallas = splat_window_pallas_available(H, r)
+    if use_pallas:
+        # the 49-tap sweep as a VMEM-tiled kernel (ops/pallas_splat.py): the
+        # XLA form below materializes one ~39 MB shifted copy of the packed
+        # geometry per tap at the measured ~75 GB/s shift bandwidth
+        best_z, best_tap = splat_window_pallas(
+            vert_conf[..., :3], normal_rad[..., :3], normal_rad[..., 3],
+            cand_valid, r, (cam.fx, cam.fy, cam.cx, cam.cy),
+        )
+    else:
+        best_z, best_tap = _splat_window_xla(
+            vert_conf[..., :3], normal_rad, cand_valid, l, shifted_b, r
+        )
 
     valid = best_tap >= 0
     side = 2 * r + 1
