@@ -85,6 +85,13 @@ class CoFusionConfig:
     # live count), so keep it as tight as the time-window population allows.
     # None -> min(2^19, max_surfels).
     active_surfels: int | None = None
+    # OBJECT-slot active-tier capacity (slots m > 0).  Per-frame per-surfel
+    # pass cost is per-ROW over the STATIC capacity (live or dead rows alike),
+    # and an object's surface is a small fraction of the background's, so
+    # object slots run their fuse/clean pipeline on a
+    # [:object_active_capacity] slice of the stacked store
+    # (engine._fuse_clean_all).  None -> min(2^17, active_capacity).
+    object_active_surfels: int | None = None
     # Surfels migrated active->stable per frame (static expel-block size); the
     # overflow stays active one more frame and re-queues.
     expel_block_log2: int = 16
@@ -98,15 +105,18 @@ class CoFusionConfig:
     fast_odom: bool = False
     use_so3: bool = True
     use_pyramid: bool = True
-    # Correspondence decimation at pyramid levels 0/1 (TPU-first divergence
+    # Correspondence decimation at pyramid level 0 (TPU-first divergence
     # from the reference, which reduces every pixel): a 2x2-strided subset
-    # still gives ~77k (l0) / ~19k (l1) correspondences for a 6-DoF solve at
-    # 640x480, and per-GN-iter cost scales with the subset size (gather rows
-    # at ~4-7 ns/row dominate, CLAUDE.md perf model).  Level 2 and the coarse
-    # fern/reloc tracker are never strided (their counts feed absolute inlier
-    # gates).
+    # still gives ~77k correspondences for a 6-DoF solve at 640x480, and
+    # per-GN-iter cost scales with the subset size (gather rows at ~4-7
+    # ns/row dominate, CLAUDE.md perf model).  Level 1 defaults to UNSTRIDED:
+    # it already has 4x fewer pixels, and striding it to HW/16 starves SMALL
+    # OBJECT models of correspondences (measured: the 8-frame moving-box
+    # multimodel test's object-translation error doubles, 0.07 -> 0.15 m,
+    # with gn_stride_l1=2).  Level 2 and the coarse fern/reloc tracker are
+    # never strided (their counts feed absolute inlier gates).
     gn_stride_l0: int = 2
-    gn_stride_l1: int = 2
+    gn_stride_l1: int = 1
 
     # --- rasterizer --------------------------------------------------------
     # Gather window half-size for splat prediction (pixels); bounds the splat
@@ -149,6 +159,17 @@ class CoFusionConfig:
         if self.active_surfels is not None:
             return min(self.active_surfels, self.max_surfels)
         return min(1 << 19, self.max_surfels)
+
+    @property
+    def object_active_capacity(self) -> int:
+        """Active-tier capacity for OBJECT slots (m > 0); never below
+        `expel_block` so expel_split stays well-formed on the slice."""
+        cap = (
+            self.object_active_surfels
+            if self.object_active_surfels is not None
+            else 1 << 17
+        )
+        return max(min(cap, self.active_capacity), self.expel_block)
 
     @property
     def expel_block(self) -> int:

@@ -1436,11 +1436,30 @@ def _fuse_clean_all(
     The model axis is UNROLLED in Python (it is static and small): each
     per-model op then contains only plain 1D scatters/gathers on one model's
     (A,) arrays — the TPU fast path.  A vmap here lowers the scatters to XLA's
-    batched forms, measured ~2 orders of magnitude slower."""
+    batched forms, measured ~2 orders of magnitude slower.
+
+    OBJECT slots (m > 0) run their whole per-frame pipeline on a STATIC SLICE
+    [:object_active_capacity] of the stacked store: per-surfel pass cost is
+    per-ROW over the static capacity (live or dead — gathers/scatters at
+    ~4-7 ns/row, CLAUDE.md perf model), and an object's surface is a small
+    fraction of the background's, so a full-width slice pays ~4x dead rows.
+    Correctness rides the existing invariants: every pass reads only the valid
+    prefix, appends are bounded by the slice capacity (overflow drops, exactly
+    the semantics of a smaller dedicated store), and fresh runs never mark a
+    row >= the slice valid (spawn resets clear full-width)."""
     M = int(new_pose.shape[0])
     H, W = cam.height, cam.width
     tickf = tick.astype(jnp.float32)
     td_f = fparams["time_delta"].astype(jnp.float32)
+    A = int(stores.px.shape[1])
+    A_obj = min(cfg.object_active_capacity, A)
+
+    def slice_model(m: int):
+        cap = A if m == 0 else A_obj
+        return SurfelStore(
+            **{f: getattr(stores, f)[m, :cap] for f in sm.DATA_FIELDS},
+            count=jnp.minimum(stores.count[m], cap),
+        )
 
     def fuse_clean_one(op):
         store, pose, w, model_id, conf_threshold, max_d = op
@@ -1481,9 +1500,8 @@ def _fuse_clean_all(
 
     outs, blks, imaps = [], [], []
     for m in range(M):
-        one = lambda a: a[m]
         op = (
-            jax.tree.map(one, stores), new_pose[m], weight[m], model_ids[m],
+            slice_model(m), new_pose[m], weight[m], model_ids[m],
             conf_thresholds[m], model_max_depth[m],
         )
         # inactive slots skip the whole fuse/clean pipeline at runtime
@@ -1491,7 +1509,18 @@ def _fuse_clean_all(
         outs.append(out_m)
         blks.append(blk_m)
         imaps.append(imap_m)
-    new_stores = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    # write the per-model results back into the stacked leaves (static-offset
+    # contiguous slice updates; object rows beyond the slice keep their old —
+    # never-valid — content)
+    leaves = {f: getattr(stores, f) for f in sm.DATA_FIELDS}
+    for m, out_m in enumerate(outs):
+        for f in sm.DATA_FIELDS:
+            leaves[f] = leaves[f].at[m, : (A if m == 0 else A_obj)].set(
+                getattr(out_m, f)
+            )
+    new_stores = SurfelStore(
+        **leaves, count=jnp.stack([out_m.count for out_m in outs])
+    )
     blks_b = jax.tree.map(lambda *xs: jnp.stack(xs), *blks)
     imap_b = jax.tree.map(lambda *xs: jnp.stack(xs), *imaps)
     return new_stores, _append_expel_blocks(stables, blks_b, cfg), imap_b

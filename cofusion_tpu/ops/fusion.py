@@ -11,12 +11,17 @@ Mapping to TPU primitives:
   * the data pass's per-pixel +/-2 px index-map search is a static window of
     SHIFTED map reads (25 fused elementwise passes over VMEM-resident images);
   * "render 1 point into the update FBO at the target surfel's texel" becomes a
-    scatter-add of (weight, weight*attr) into per-surfel accumulators — where the
-    GL path drops colliding updates (last write wins), we accumulate ALL of them,
-    a strictly better use of the data (documented divergence);
+    SCATTER-FREE reverse-window accumulation: contributions are summed per
+    index-map PIXEL (25 masked HBM-speed shifts of one packed contribution
+    image) and each surfel fetches its sums with one row-packed gather at its
+    own projected pixel (the point render is injective, so pixel sums ARE
+    surfel sums) — where the GL path drops colliding updates (last write
+    wins), we accumulate ALL of them, a strictly better use of the data
+    (documented divergence);
   * "transform feedback + geometry-shader discard + primitive query" becomes
     masked cumsum compaction (models/surfel_model.py:compact);
-  * new unstable surfels are appended with bounded-capacity scatter.
+  * new unstable surfels are appended CONTIGUOUSLY: stable argsort compaction
+    + one row gather + one dynamic_update_slice per attribute (no scatters).
 
 Performance rules (measured, see models/surfel_model.py): every per-surfel
 quantity is a scalar (N,) array — no (N, 3) slicing/stacking; every
@@ -163,6 +168,12 @@ def fuse(
     `return_aux`: additionally return FuseAux (image-space append locations) so
     the caller can build the post-fuse index render by overlay (overlay_imap)
     instead of a second z-buffer pass.
+
+    CONTRACT: `imap` must be a genuine `predict_indices(store, pose, ...)`
+    render of THIS store at THIS pose — the scatter-free merge lets each
+    surfel claim a pixel's accumulated updates by re-projecting itself and
+    checking `imap.index[its pixel] == itself` (every call site renders the
+    imap from (store, pose) immediately before fusing).
     """
     H, W = raw_depth.shape
     x = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
@@ -222,12 +233,6 @@ def fuse(
             best_tap = jnp.where(better, k, best_tap)
             k += 1
 
-    side = 2 * r + 1
-    tap = jnp.maximum(best_tap, 0)
-    sy = jnp.clip(y + tap // side - r, 0, H - 1)
-    sx = jnp.clip(x + tap % side - r, 0, W - 1)
-    src_lin = sy * W + sx
-
     # --- lift measurements to world frame (data.vert:84-100 applies `pose`).
     # Image-scale stacked math (VMEM-resident) then flatten to scalar columns.
     R = pose[:3, :3]
@@ -236,10 +241,9 @@ def fuse(
     wnorm = _rotate(R, frame.normal)
 
     # --- stagger-phase subsample: `cand` is nonzero ONLY on the 2x2 subgrid
-    # (x%2, y%2) == (t%2, t%2), so every scatter operand shrinks 4x STATICALLY
-    # (scatter cost is per index-array element, live or dead) by slicing that
-    # subgrid out first.  The phase is traced (t%2) — a take along a size-2
-    # axis, not a recompile.
+    # (x%2, y%2) == (t%2, t%2), so the append-path operands shrink 4x
+    # STATICALLY by slicing that subgrid out first.  The phase is traced
+    # (t%2) — a take along a size-2 axis, not a recompile.
     halved = (H % 2 == 0) and (W % 2 == 0)
     p = t_i % 2
 
@@ -259,26 +263,66 @@ def fuse(
     }
     cand_s = sub(cand)
     conf_s = sub(frame.conf)
-    # the association-winner fetch also runs on the subgrid (4x fewer indices)
-    best_idx_s = jnp.where(
-        sub(best_tap) >= 0, jnp.take(imap.index.reshape(-1), sub(src_lin)), -1
-    )
-    merge_s = cand_s & (best_idx_s >= 0)
-    new_s = cand_s & (best_idx_s < 0)
+    # a matched tap always points at a valid render pixel (c_has fed `better`),
+    # so merge/new split on the tap alone — no winner-index gather needed
+    merge_s = cand_s & (sub(best_tap) >= 0)
+    new_s = cand_s & (sub(best_tap) < 0)
 
-    # --- update pass: scatter-accumulate into per-surfel accumulators (1D
-    # scalar scatters — wide scatter rows are slow on this platform, see
-    # ops/rows.py; the subgrid slice above already cut their cost 4x).
+    # --- update pass, SCATTER-FREE (round 5).  The point render is injective:
+    # each surfel occupies exactly one index-map pixel (it was scattered to a
+    # single bucket and won it), so per-SURFEL accumulation is per-PIXEL
+    # accumulation at the winner's pixel.  Reverse the association window —
+    #   acc[p] = sum over taps k of contrib[q]  where q + off_k = p and
+    #            best_tap[q] == k
+    # — 25 masked HBM-speed shifts of ONE packed (H, W, 11) contribution image
+    # — then every surfel FETCHES its sums with one row-packed gather at its
+    # own projected pixel, claiming them iff it is that pixel's render winner.
+    # Replaces 11 x 77k-row 1D scatter-adds (~5 ns/row, the round-4 fuse cost)
+    # with bandwidth-speed image work + one N-row gather.
     n = store.capacity
-    tgt = jnp.where(merge_s, best_idx_s, n)
-    a = jnp.where(merge_s, conf_s, 0.0)
+    merge_full = cand & (best_tap >= 0)
+    a_full = jnp.where(merge_full, frame.conf, 0.0)
+    contrib = jnp.stack(
+        [
+            a_full,
+            a_full * wpos[..., 0], a_full * wpos[..., 1], a_full * wpos[..., 2],
+            a_full * frame.radius,
+            a_full * frame.color[..., 0], a_full * frame.color[..., 1],
+            a_full * frame.color[..., 2],
+            a_full * wnorm[..., 0], a_full * wnorm[..., 1], a_full * wnorm[..., 2],
+        ],
+        axis=-1,
+    )  # (H, W, 11): weight, then weighted px,py,pz,radius,cr,cg,cb,nx,ny,nz
+    acc_img = jnp.zeros((H, W, 11), jnp.float32)
+    k = 0
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            sel = (best_tap == k)[..., None]
+            acc_img = acc_img + _shifted(
+                jnp.where(sel, contrib, 0.0), -dy, -dx, 0.0
+            )
+            k += 1
 
-    def acc(col):
-        return jnp.zeros((n,), jnp.float32).at[tgt].add(col, mode="drop")
+    # per-surfel fetch: project the store with the SAME math as the index
+    # render (rasterize._project_store) — surfel s won pixel lin_s iff
+    # imap.index[lin_s] == s (out-of-bounds / gated-out surfels were never
+    # scattered, so their clamped pixel's winner is a different index and the
+    # claim fails naturally).  Winner index rides the same row gather as the
+    # 11 sums (float32 is exact through 2^24 >> capacity).
+    from cofusion_tpu.ops.rasterize import _project_store
+    from cofusion_tpu.ops.rows import take_rows
 
-    sum_a = acc(a)
-    sums = {k: acc(a * w_cols[k]) for k in
-            ("px", "py", "pz", "radius", "cr", "cg", "cb", "nx", "ny", "nz")}
+    _, _, _, _, _, _, uis, vis, _ = _project_store(store, pose, cam)
+    lin_s = jnp.clip(vis, 0, H - 1) * W + jnp.clip(uis, 0, W - 1)
+    fetch = take_rows(
+        [acc_img[..., c] for c in range(11)]
+        + [imap.index.reshape(-1).astype(jnp.float32)],
+        lin_s,
+    )
+    won = fetch[-1] == jnp.arange(n, dtype=jnp.float32)
+    sum_a = jnp.where(won, fetch[0], 0.0)
+    _keys = ("px", "py", "pz", "radius", "cr", "cg", "cb", "nx", "ny", "nz")
+    sums = {key: jnp.where(won, fetch[1 + i], 0.0) for i, key in enumerate(_keys)}
 
     hit = sum_a > 0
     a_tot = jnp.maximum(sum_a, 1e-12)
@@ -320,32 +364,48 @@ def fuse(
         last_time=jnp.where(hit, tf, store.last_time),
     )
 
-    # --- new unstable surfels: bounded append — one 1D scatter per attribute
-    # over the staggered subgrid (4x fewer indices than full-res)
+    # --- new unstable surfels: appended rows are CONTIGUOUS
+    # ([count, count+appended)), so the 13 x 77k-row 1D scatter-sets become:
+    # ONE stable argsort (new pixels first, pixel order — so sorted row i IS
+    # rank i; sorting is cheap, ~1.3 ms/512k keys), ONE row-packed gather of
+    # the 11 attribute channels, and one contiguous dynamic_update_slice per
+    # attribute into a P-padded copy (sorted rows beyond `appended` carry
+    # non-new-pixel garbage, but they land at indices >= new_count — the
+    # invalid region the valid-prefix invariant masks everywhere; padding by P
+    # keeps the dynamic offset from ever clamping near capacity).
     rank = jnp.cumsum(new_s.astype(jnp.int32)) - 1
     dest = jnp.where(new_s, store.count + rank, n)
     appended = jnp.sum(new_s.astype(jnp.int32))
     new_count = jnp.minimum(store.count + appended, n)
 
-    tf_col = jnp.full(new_s.shape, tf)
+    P = new_s.shape[0]
+    order = jnp.argsort(jnp.where(new_s, 0, 1).astype(jnp.int32), stable=True)
+    (apx, apy, apz, anx, any_, anz, acr, acg, acb, arad, aconf) = take_rows(
+        (w_cols["px"], w_cols["py"], w_cols["pz"], w_cols["nx"], w_cols["ny"],
+         w_cols["nz"], w_cols["cr"], w_cols["cg"], w_cols["cb"],
+         w_cols["radius"], conf_s),
+        order,
+    )
+    tf_rows = jnp.full((P,), tf)
 
-    def put(base, col):
-        return base.at[dest].set(col, mode="drop")
+    def put(base, rows):
+        padded = jnp.concatenate([base, jnp.zeros((P,), jnp.float32)])
+        return jax.lax.dynamic_update_slice(padded, rows, (store.count,))[:n]
 
     out = SurfelStore(
-        px=put(updated.px, w_cols["px"]),
-        py=put(updated.py, w_cols["py"]),
-        pz=put(updated.pz, w_cols["pz"]),
-        nx=put(updated.nx, w_cols["nx"]),
-        ny=put(updated.ny, w_cols["ny"]),
-        nz=put(updated.nz, w_cols["nz"]),
-        cr=put(updated.cr, w_cols["cr"]),
-        cg=put(updated.cg, w_cols["cg"]),
-        cb=put(updated.cb, w_cols["cb"]),
-        radius=put(updated.radius, w_cols["radius"]),
-        conf=put(updated.conf, conf_s),
-        init_time=put(updated.init_time, tf_col),
-        last_time=put(updated.last_time, tf_col),
+        px=put(updated.px, apx),
+        py=put(updated.py, apy),
+        pz=put(updated.pz, apz),
+        nx=put(updated.nx, anx),
+        ny=put(updated.ny, any_),
+        nz=put(updated.nz, anz),
+        cr=put(updated.cr, acr),
+        cg=put(updated.cg, acg),
+        cb=put(updated.cb, acb),
+        radius=put(updated.radius, arad),
+        conf=put(updated.conf, aconf),
+        init_time=put(updated.init_time, tf_rows),
+        last_time=put(updated.last_time, tf_rows),
         valid=jnp.arange(n) < new_count,
         count=new_count,
     )

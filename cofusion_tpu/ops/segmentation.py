@@ -55,6 +55,81 @@ class SegmentationResult(NamedTuple):
 # SLIC
 
 
+def _sh_cells(g: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """out[cy, cx] = g[cy - dy, cx - dx], zero outside — tiny (GH, GW) grid."""
+    GH, GW = g.shape
+    gp = jnp.pad(g, ((1, 1), (1, 1)))
+    return gp[1 - dy : 1 - dy + GH, 1 - dx : 1 - dx + GW]
+
+
+def _sp_sums_local(chans, w, assign, GH: int, GW: int, S: int, stride: int = 2):
+    """Per-superpixel weighted sums + count WITHOUT scatters, using the SLIC
+    locality invariant: assign[p] is one of the 3x3 grid cells around p's base
+    cell (true for `slic_assign` output by construction — candidates are the
+    3x3 neighborhood of the base cell, clipped at borders, so border clips
+    stay inside the window).
+
+    The scatter form costs ~4-7 ns per index element (H*W/stride^2 indices per
+    channel per call — the dominant CRF-stage cost); this form is 9 masked
+    block reductions at HBM speed + static shifts of the tiny (GH, GW) grid.
+    Pixels violating the invariant are dropped (they cannot exist for SLIC
+    output; tests/test_segmentation.py pins parity with the scatter form).
+
+    chans: list of (H, W) arrays; w: (H, W) float32 weights (0 excludes).
+    Returns (sums: list of (K,) f32, cnt: (K,) f32), K = GH*GW.
+    """
+    assert S % stride == 0
+    T = S // stride
+    a_s = assign[::stride, ::stride]
+    w_s = w[::stride, ::stride]
+    ch_s = [c[::stride, ::stride] for c in chans]
+    Hs, Ws = a_s.shape
+    Hm, Wm = GH * T, GW * T
+
+    def main(x):
+        return x[:Hm, :Wm]
+
+    a_m = main(a_s)
+    ay, ax = a_m // GW, a_m % GW
+    by = jax.lax.broadcasted_iota(jnp.int32, (Hm, Wm), 0) // T
+    bx = jax.lax.broadcasted_iota(jnp.int32, (Hm, Wm), 1) // T
+    ry = ay - by + 1
+    rx = ax - bx + 1
+    inwin = (ry >= 0) & (ry < 3) & (rx >= 0) & (rx < 3)
+    tap = jnp.where(inwin, ry * 3 + rx, 9)
+    w_m = main(w_s)
+
+    def block(x):  # (Hm, Wm) -> (GH, GW) tile sums
+        return x.reshape(GH, T, GW, T).sum(axis=(1, 3))
+
+    cnt_g = jnp.zeros((GH, GW), jnp.float32)
+    sums_g = [jnp.zeros((GH, GW), jnp.float32) for _ in chans]
+    for k in range(9):
+        dy, dx = k // 3 - 1, k % 3 - 1
+        wk = jnp.where(tap == k, w_m, 0.0)
+        cnt_g = cnt_g + _sh_cells(block(wk), dy, dx)
+        for i, c in enumerate(ch_s):
+            sums_g[i] = sums_g[i] + _sh_cells(block(main(c) * wk), dy, dx)
+
+    K = GH * GW
+    cnt = cnt_g.reshape(K)
+    sums = [s.reshape(K) for s in sums_g]
+
+    # remainder strips (H/W not multiples of S): tiny scatter-adds, exact
+    if Hs > Hm or Ws > Wm:
+        rem_a = [a_s[Hm:, :].reshape(-1), a_s[:Hm, Wm:].reshape(-1)]
+        rem_w = [w_s[Hm:, :].reshape(-1), w_s[:Hm, Wm:].reshape(-1)]
+        for part in range(2):
+            ra, rw = rem_a[part], rem_w[part]
+            if ra.shape[0] == 0:
+                continue
+            cnt = cnt.at[ra].add(rw, mode="drop")
+            for i, c in enumerate(ch_s):
+                rc = (c[Hm:, :] if part == 0 else c[:Hm, Wm:]).reshape(-1)
+                sums[i] = sums[i].at[ra].add(rc * rw, mode="drop")
+    return sums, cnt
+
+
 def slic_assign(
     rgb: jnp.ndarray, cfg: CoFusionConfig, iterations: int | None = None
 ) -> jnp.ndarray:
@@ -85,16 +160,13 @@ def slic_assign(
 
     def centers_of(assign):
         # center accumulation from a 2x2-strided pixel subset (4x cheaper;
-        # means statistically identical at S>=8) with SIX 1D scatter-adds —
-        # wide scatter rows are the slow form on this platform (ops/rows.py:
-        # scatter-set (K,8) measured ~19x the 1D cost); 1D adds are per-index
-        a_s = assign[::2, ::2].reshape(-1)
-        feat_s = feat[::2, ::2].reshape(-1, 5)
-        cnt = jnp.zeros((K,), jnp.float32).at[a_s].add(1.0)
-        sums = [
-            jnp.zeros((K,), jnp.float32).at[a_s].add(feat_s[:, c])
-            for c in range(5)
-        ]
+        # means statistically identical at S>=8) via the scatter-free local
+        # block reduction (_sp_sums_local — valid because SLIC assignments
+        # stay in the 3x3 cell window by construction)
+        ones = jnp.ones((H, W), jnp.float32)
+        sums, cnt = _sp_sums_local(
+            [feat[..., c] for c in range(5)], ones, assign, GH, GW, S, stride=2
+        )
         return jnp.stack(sums, axis=-1) / jnp.maximum(cnt[:, None], 1.0)
 
     assign = base_assign
@@ -144,39 +216,67 @@ def slic_assign(
 
 
 def downsample_mean(
-    img: jnp.ndarray, assign: jnp.ndarray, K: int, min_threshold=None
+    img: jnp.ndarray,
+    assign: jnp.ndarray,
+    K: int,
+    min_threshold=None,
+    grid: tuple[int, int, int] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Superpixel means (Slic::downsample / downsampleThresholded).  Returns
-    (means (K,[C]), counts (K,))."""
-    # 2x2-strided subset (4x fewer scatter indices; superpixels are >= S px so
-    # the means are statistically identical) + per-channel 1D scatter-adds
-    # (wide scatter rows are the slow form on this platform, ops/rows.py)
-    a_s = assign[::2, ::2]
-    flat = a_s.reshape(-1)
-    img_s = img[::2, ::2]
+    (means (K,[C]), counts (K,)).
+
+    `grid` = (GH, GW, S): when the assignment is SLIC output (locality
+    invariant — see _sp_sums_local) pass the grid shape and the accumulation
+    runs scatter-free at HBM speed.  Without `grid`, falls back to per-channel
+    1D scatter-adds (any assignment)."""
+    # 2x2-strided subset (4x fewer indices; superpixels are >= S px so the
+    # means are statistically identical)
     if img.ndim == 2:
-        chans = [img_s.reshape(-1)]
+        chans_full = [img]
     else:
-        chans = [img_s[..., c].reshape(-1) for c in range(img.shape[-1])]
-    ok = jnp.ones((flat.shape[0],), bool)
-    if min_threshold is not None:
-        ok = chans[0] > min_threshold
-    w = ok.astype(jnp.float32)
-    cnt = jnp.zeros((K,), jnp.float32).at[flat].add(w)
-    sums = [jnp.zeros((K,), jnp.float32).at[flat].add(c * w) for c in chans]
+        chans_full = [img[..., c] for c in range(img.shape[-1])]
+    if grid is not None:
+        GH, GW, S = grid
+        w = jnp.ones(assign.shape, jnp.float32)
+        if min_threshold is not None:
+            w = (chans_full[0] > min_threshold).astype(jnp.float32)
+        sums, cnt = _sp_sums_local(chans_full, w, assign, GH, GW, S, stride=2)
+    else:
+        a_s = assign[::2, ::2]
+        flat = a_s.reshape(-1)
+        chans = [c[::2, ::2].reshape(-1) for c in chans_full]
+        ok = jnp.ones((flat.shape[0],), bool)
+        if min_threshold is not None:
+            ok = chans[0] > min_threshold
+        w = ok.astype(jnp.float32)
+        cnt = jnp.zeros((K,), jnp.float32).at[flat].add(w)
+        sums = [jnp.zeros((K,), jnp.float32).at[flat].add(c * w) for c in chans]
     denom = jnp.maximum(cnt, 1.0)
     if img.ndim == 2:
         return sums[0] / denom, cnt
     return jnp.stack(sums, axis=-1) / denom[:, None], cnt
 
 
-def downsample_mean_b(imgs: jnp.ndarray, assign: jnp.ndarray, K: int) -> jnp.ndarray:
-    """Batched superpixel means of (M, H, W) images -> (M, K).  NOT a vmap of
-    `downsample_mean`: a vmapped scatter lowers to XLA's batched-scatter form,
-    ~2 orders of magnitude off the TPU fast path (the same measured cliff as
-    the batched render) — instead the model index folds into the flat bucket
-    index so the accumulation stays ONE plain 1D scatter-add."""
+def downsample_mean_b(
+    imgs: jnp.ndarray,
+    assign: jnp.ndarray,
+    K: int,
+    grid: tuple[int, int, int] | None = None,
+) -> jnp.ndarray:
+    """Batched superpixel means of (M, H, W) images -> (M, K).  With `grid`
+    (SLIC assignments) the M images ride ONE scatter-free block reduction
+    (_sp_sums_local channels); otherwise NOT a vmap of `downsample_mean` —
+    a vmapped scatter lowers to XLA's batched-scatter form, ~2 orders of
+    magnitude off the TPU fast path — the model index folds into the flat
+    bucket index so the accumulation stays ONE plain 1D scatter-add."""
     M = imgs.shape[0]
+    if grid is not None:
+        GH, GW, S = grid
+        w = jnp.ones(assign.shape, jnp.float32)
+        sums, cnt = _sp_sums_local(
+            [imgs[m] for m in range(M)], w, assign, GH, GW, S, stride=2
+        )
+        return jnp.stack(sums) / jnp.maximum(cnt, 1.0)[None]
     a_s = assign[::2, ::2]
     flat_assign = (a_s[None] + jnp.arange(M)[:, None, None] * K).reshape(-1)
     vals = imgs[:, ::2, ::2].reshape(-1)
@@ -331,10 +431,11 @@ def perform_segmentation_crf(
 
     assign = slic_assign(rgb, cfg)
 
-    low_rgb, _ = downsample_mean(rgb.astype(jnp.float32), assign, K)
-    low_depth, _ = downsample_mean(depth, assign, K, min_threshold=0.02)
+    grid = (GH, GW, S)  # SLIC assignments -> scatter-free block accumulation
+    low_rgb, _ = downsample_mean(rgb.astype(jnp.float32), assign, K, grid=grid)
+    low_depth, _ = downsample_mean(depth, assign, K, min_threshold=0.02, grid=grid)
     low_err = downsample_median_b(icp_errors, assign, K)   # (M, K)
-    low_conf = downsample_mean_b(confidences, assign, K)
+    low_conf = downsample_mean_b(confidences, assign, K, grid=grid)
 
     dok = (low_depth > 0) & (low_depth < MAX_DEPTH)
     dmin = jnp.min(jnp.where(dok, low_depth, jnp.inf))

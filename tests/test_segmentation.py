@@ -115,3 +115,51 @@ def test_crf_no_new_label_when_errors_low(small_cam):
     seg = np.asarray(res.full_segmentation)
     assert not bool(res.has_new_label)
     assert (seg == 0).mean() > 0.95
+
+def test_sp_sums_local_matches_scatter(small_cam, rng):
+    """The scatter-free block accumulation (grid=) must match the 1D
+    scatter-add form on real SLIC assignments — same strided pixel subset,
+    so equality up to float reassociation."""
+    scene = SyntheticScene()
+    rgb, depth, _ = scene.render(small_cam, np.eye(4))
+    cfg = CoFusionConfig(camera=small_cam)
+    S = cfg.superpixel_size
+    GH, GW = small_cam.height // S, small_cam.width // S
+    K = GH * GW
+    assign = sg.slic_assign(jnp.asarray(rgb), cfg)
+
+    m_ref, c_ref = sg.downsample_mean(jnp.asarray(rgb, jnp.float32), assign, K)
+    m_new, c_new = sg.downsample_mean(
+        jnp.asarray(rgb, jnp.float32), assign, K, grid=(GH, GW, S)
+    )
+    np.testing.assert_allclose(np.asarray(c_new), np.asarray(c_ref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(m_new), np.asarray(m_ref), rtol=1e-5, atol=1e-4)
+
+    # thresholded variant (depth path)
+    d = jnp.asarray(depth, jnp.float32)
+    md_ref, cd_ref = sg.downsample_mean(d, assign, K, min_threshold=0.02)
+    md_new, cd_new = sg.downsample_mean(d, assign, K, min_threshold=0.02, grid=(GH, GW, S))
+    np.testing.assert_allclose(np.asarray(cd_new), np.asarray(cd_ref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(md_new), np.asarray(md_ref), rtol=1e-5, atol=1e-4)
+
+    # batched variant (confidence path)
+    imgs = jnp.asarray(rng.random((3,) + small_cam.shape), jnp.float32)
+    b_ref = sg.downsample_mean_b(imgs, assign, K)
+    b_new = sg.downsample_mean_b(imgs, assign, K, grid=(GH, GW, S))
+    np.testing.assert_allclose(np.asarray(b_new), np.asarray(b_ref), rtol=1e-5, atol=1e-4)
+
+
+def test_sp_sums_local_remainder_strips(rng):
+    """H/W not multiples of S: the remainder strips go through exact tiny
+    scatters — totals must still match the scatter form."""
+    cam = CameraConfig(width=166, height=130, fx=132.0, fy=132.0, cx=83.0, cy=65.0)
+    cfg = CoFusionConfig(camera=cam)
+    S = cfg.superpixel_size
+    GH, GW = cam.height // S, cam.width // S
+    K = GH * GW
+    rgb = jnp.asarray(rng.random((cam.height, cam.width, 3)) * 255.0, jnp.float32)
+    assign = sg.slic_assign(rgb, cfg)
+    m_ref, c_ref = sg.downsample_mean(rgb, assign, K)
+    m_new, c_new = sg.downsample_mean(rgb, assign, K, grid=(GH, GW, S))
+    np.testing.assert_allclose(np.asarray(c_new), np.asarray(c_ref), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(m_new), np.asarray(m_ref), rtol=1e-5, atol=1e-4)

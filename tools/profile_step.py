@@ -143,9 +143,12 @@ def main():
             models.store, models.pose, cam, state.tick, td, dc, models.conf_threshold
         )
         imap = jax.tree.map(lambda a: a, imap)
-        fn = jax.jit(jax.vmap(lambda im: rz.splat_from_imap(im, cam, cfg)))
+        # batched form, NOT vmap: the engine never vmaps splat_from_imap (it
+        # folds the model axis into flat indices), and vmapping the Pallas
+        # window kernel fails to lower (batched block spec in ANY memory space)
+        fn = jax.jit(lambda im: rz.splat_from_imap(im, cam, cfg))
         total["splat_window_only"] = timeit(
-            "splat_from_imap window (vmap 4)", fn, imap, reps=reps
+            "splat_from_imap window (batched 4)", fn, imap, reps=reps
         )
 
     if on("track"):
